@@ -1,0 +1,24 @@
+"""Test configuration: force a deterministic 8-device virtual CPU mesh.
+
+Multi-chip sharding is validated on virtual CPU devices (no TPU pod needed),
+mirroring how the driver dry-runs `__graft_entry__.dryrun_multichip`.
+
+The ambient environment pins jax to the remote TPU tunnel (the axon
+sitecustomize calls jax.config.update("jax_platforms", "axon") at interpreter
+start, which overrides the JAX_PLATFORMS env var), so we must override the
+*config* here, before any backend is initialized — env vars alone are not
+enough. Eager per-op dispatch over the tunnel is also ~1s/op, so tests must
+run on host CPU.
+"""
+
+import os
+
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

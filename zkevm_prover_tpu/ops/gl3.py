@@ -1,0 +1,135 @@
+"""Cubic extension field F_p^3 = F_p[x]/(x^3 - x - 1) over Goldilocks.
+
+TPU-native replacement for the reference's `Goldilocks3` (absent submodule;
+API reconstructed from call sites, e.g. src/starkpil/starks.cpp:277,
+src/starkpil/polinomial.hpp:722). Elements are uint64 arrays whose LAST axis
+has size 3 (coefficients [c0, c1, c2] of c0 + c1·x + c2·x^2).
+
+The reduction polynomial x^3 = x + 1 matches the pil-stark stack (verified
+against the f3g multiplication identity used throughout the reference's
+generated constraint code).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import goldilocks as gl
+
+FIELD_EXTENSION = 3
+
+
+def zero(shape=()):
+    return jnp.zeros((*shape, 3), dtype=jnp.uint64)
+
+
+def one(shape=()):
+    z = jnp.zeros((*shape, 3), dtype=jnp.uint64)
+    return z.at[..., 0].set(jnp.uint64(1))
+
+
+def from_base(a):
+    """Embed base-field array (shape s) into F_p^3 (shape s + (3,))."""
+    z = jnp.zeros((*a.shape, 3), dtype=jnp.uint64)
+    return z.at[..., 0].set(a)
+
+
+def add(a, b):
+    return gl.add(a, b)
+
+
+def sub(a, b):
+    return gl.sub(a, b)
+
+
+def neg(a):
+    return gl.neg(a)
+
+
+def mul(a, b):
+    """Karatsuba-style 6-mul product with reduction by x^3 = x + 1."""
+    a0, a1, a2 = a[..., 0], a[..., 1], a[..., 2]
+    b0, b1, b2 = b[..., 0], b[..., 1], b[..., 2]
+    A = gl.mul(gl.add(a0, a1), gl.add(b0, b1))
+    B = gl.mul(gl.add(a0, a2), gl.add(b0, b2))
+    C = gl.mul(gl.add(a1, a2), gl.add(b1, b2))
+    D = gl.mul(a0, b0)
+    E = gl.mul(a1, b1)
+    F = gl.mul(a2, b2)
+    G = gl.sub(D, E)
+    r0 = gl.sub(gl.add(C, G), F)
+    r1 = gl.sub(gl.sub(gl.add(A, C), gl.add(E, E)), D)
+    r2 = gl.sub(B, G)
+    return jnp.stack([r0, r1, r2], axis=-1)
+
+
+def mul_base(a, s):
+    """F_p^3 element times base-field scalar/array (broadcast over last axis)."""
+    s = jnp.asarray(s, dtype=jnp.uint64)
+    return gl.mul(a, s[..., None])
+
+
+def square(a):
+    return mul(a, a)
+
+
+def inv(a):
+    """Inverse via the adjugate of the multiplication-by-a matrix.
+
+    mul-by-a in basis {1, x, x^2} is M = [[a0, a2, a1],
+                                          [a1, a0+a2, a1+a2],
+                                          [a2, a1, a0+a2]];
+    inv(a) = M^{-1} · (1,0,0)^T = adj(M)[:,0] / det(M). Costs ~15 base muls
+    plus one base inversion (vs a p^3-2 power ladder).
+    """
+    a0, a1, a2 = a[..., 0], a[..., 1], a[..., 2]
+    m11 = gl.add(a0, a2)
+    m12 = gl.add(a1, a2)
+    # det = a0*(m11*m11 - a1*m12) - a2*(a1*m11 - a1*a2... ) expand by 1st column
+    # cof00 = m11*m11 - m12*a1
+    cof00 = gl.sub(gl.mul(m11, m11), gl.mul(m12, a1))
+    # cof10 = -(a1*m11 - m12*a2)
+    cof10 = gl.neg(gl.sub(gl.mul(a1, m11), gl.mul(m12, a2)))
+    # cof20 = a1*a1 - m11*a2
+    cof20 = gl.sub(gl.mul(a1, a1), gl.mul(m11, a2))
+    det = gl.add(
+        gl.add(gl.mul(a0, cof00), gl.mul(a2, cof10)),
+        gl.mul(a1, cof20),
+    )
+    det_inv = gl.inv(det)
+    return jnp.stack(
+        [gl.mul(cof00, det_inv), gl.mul(cof10, det_inv), gl.mul(cof20, det_inv)],
+        axis=-1,
+    )
+
+
+def batch_inverse(a, axis: int = 0):
+    """Montgomery batch inversion of F_p^3 elements along `axis`.
+
+    Mirrors Polinomial::batchInverseParallel (src/starkpil/polinomial.hpp:635)
+    as two associative scans + one field inversion.
+    """
+    n = a.shape[axis]
+    fwd = jax.lax.associative_scan(mul, a, axis=axis)
+    rev = jax.lax.associative_scan(mul, a, axis=axis, reverse=True)
+    total_inv = inv(jax.lax.index_in_dim(fwd, n - 1, axis=axis, keepdims=True))
+    ones = one(jax.lax.slice_in_dim(a, 0, 1, axis=axis).shape[:-1])
+    pre = jnp.concatenate([ones, jax.lax.slice_in_dim(fwd, 0, n - 1, axis=axis)], axis=axis)
+    suf = jnp.concatenate([jax.lax.slice_in_dim(rev, 1, n, axis=axis), ones], axis=axis)
+    return mul(mul(pre, suf), total_inv)
+
+
+def pow_const(a, e: int):
+    e = int(e)
+    result = None
+    base = a
+    while e:
+        if e & 1:
+            result = base if result is None else mul(result, base)
+        e >>= 1
+        if e:
+            base = square(base)
+    if result is None:
+        return one(a.shape[:-1])
+    return result

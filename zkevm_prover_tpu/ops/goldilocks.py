@@ -1,0 +1,201 @@
+"""Goldilocks base field (p = 2^64 - 2^32 + 1) arithmetic on JAX arrays.
+
+TPU-native replacement for the reference's `Goldilocks` class (submodule
+`src/goldilocks/src/goldilocks_base_field.hpp`, used from e.g.
+`src/starkpil/starks.cpp`, `src/starkpil/fri/friProve.cpp:12-13`): instead of
+scalar/AVX2/AVX512 paths we expose vectorized ops over `uint64` jnp arrays.
+XLA lowers uint64 to u32-pair arithmetic on TPU; the algorithms below only use
+wrapping u64 add/sub/mul-lo, shifts, masks and compares so they are exact on
+every backend. Hot kernels (NTT butterflies, Poseidon) additionally have
+hand-written Pallas u32-pair implementations in `*_pallas.py`.
+
+Elements are canonical uint64 values in [0, p). All functions are shape-
+polymorphic and jit-friendly (no Python branches on traced values).
+
+Field constants follow the pil-stark conventions of the reference stack:
+multiplicative-subgroup generator tower W[k] (primitive 2^k-th roots of
+unity, W[32] = 7277203076849721926) and coset shift 49 (`Goldilocks::w(nBits)`
+/ `Goldilocks::shift()` call sites: src/starkpil/zhInv.cpp:14-28,
+src/starkpil/fri/friProve.cpp:12-13,36). The goldilocks submodule is absent
+from the reference snapshot, so these two constants are configurable via
+`set_field_params` should a different tower generator be required.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Constants
+# ---------------------------------------------------------------------------
+
+P = 0xFFFFFFFF_00000001  # 2^64 - 2^32 + 1
+P_U64 = np.uint64(P)
+M32 = np.uint64(0xFFFFFFFF)
+EPSILON = np.uint64(0xFFFFFFFF)  # 2^64 mod p = 2^32 - 1
+
+# Primitive 2^32-th root of unity of the pil-stark/goldilocks stack and the
+# LDE coset shift. Both have been cross-checked for algebraic validity:
+# W32 has exact multiplicative order 2^32; 49 is outside the 2-adic subgroup.
+_DEFAULT_W32 = 7277203076849721926
+_DEFAULT_SHIFT = 49
+
+_params = {"w32": _DEFAULT_W32, "shift": _DEFAULT_SHIFT}
+
+
+def set_field_params(w32: int | None = None, shift: int | None = None) -> None:
+    """Override the root-of-unity tower generator / coset shift (host ints)."""
+    if w32 is not None:
+        if pow(w32, 1 << 32, P) != 1 or pow(w32, 1 << 31, P) == 1:
+            raise ValueError("w32 must have multiplicative order exactly 2^32")
+        _params["w32"] = w32
+        _w_tower.cache_clear()
+    if shift is not None:
+        if pow(shift, 1 << 32, P) == 1:
+            raise ValueError("shift must not lie in the 2-adic subgroup")
+        _params["shift"] = shift
+
+
+@functools.lru_cache(maxsize=None)
+def _w_tower() -> tuple[int, ...]:
+    w = [1] * 33
+    w[32] = _params["w32"]
+    for k in range(31, -1, -1):
+        w[k] = (w[k + 1] * w[k + 1]) % P
+    return tuple(w)
+
+
+def w(n_bits: int) -> int:
+    """Primitive 2^n_bits-th root of unity (host int). Mirrors Goldilocks::w."""
+    return _w_tower()[n_bits]
+
+
+def shift() -> int:
+    """LDE coset shift (host int). Mirrors Goldilocks::shift()."""
+    return _params["shift"]
+
+
+def shift_inv() -> int:
+    return pow(_params["shift"], P - 2, P)
+
+
+# ---------------------------------------------------------------------------
+# Core vectorized ops (uint64 in, uint64 out, canonical [0, p))
+# ---------------------------------------------------------------------------
+
+
+def asgl(x) -> jax.Array:
+    """Convert ints / numpy / jax arrays to canonical uint64 field elements."""
+    if isinstance(x, (int, np.integer)):
+        return jnp.uint64(int(x) % P)
+    a = jnp.asarray(x)
+    if a.dtype != jnp.uint64:
+        a = a.astype(jnp.uint64)
+    return a
+
+
+def add(a, b):
+    s = a + b
+    # carry out of u64, or landed in [p, 2^64): subtract p (== add 2^32-1 mod 2^64)
+    adj = (s < a) | (s >= P_U64)
+    return s + jnp.where(adj, EPSILON, jnp.uint64(0))
+
+
+def sub(a, b):
+    d = a - b
+    borrow = a < b
+    return d - jnp.where(borrow, EPSILON, jnp.uint64(0))
+
+
+def neg(a):
+    return jnp.where(a == 0, jnp.uint64(0), P_U64 - a)
+
+
+def _mul128(a, b):
+    """Full 64x64 -> 128-bit product as (hi, lo) uint64 pair."""
+    a_lo = a & M32
+    a_hi = a >> np.uint64(32)
+    b_lo = b & M32
+    b_hi = b >> np.uint64(32)
+    ll = a_lo * b_lo
+    lh = a_lo * b_hi
+    hl = a_hi * b_lo
+    hh = a_hi * b_hi
+    mid = lh + (ll >> np.uint64(32))          # <= 2^64 - 2^32, no overflow
+    mid2 = hl + (mid & M32)                   # no overflow
+    hi = hh + (mid >> np.uint64(32)) + (mid2 >> np.uint64(32))
+    lo = (mid2 << np.uint64(32)) | (ll & M32)
+    return hi, lo
+
+
+def _reduce128(hi, lo):
+    """Reduce a 128-bit value mod p using 2^64 = 2^32 - 1, 2^96 = -1 (mod p)."""
+    hi_hi = hi >> np.uint64(32)
+    hi_lo = hi & M32
+    t0 = lo - hi_hi
+    t0 = t0 - jnp.where(lo < hi_hi, EPSILON, jnp.uint64(0))
+    t1 = hi_lo * M32
+    t2 = t0 + t1
+    t2 = t2 + jnp.where(t2 < t1, EPSILON, jnp.uint64(0))
+    return jnp.where(t2 >= P_U64, t2 - P_U64, t2)
+
+
+def mul(a, b):
+    hi, lo = _mul128(a, b)
+    return _reduce128(hi, lo)
+
+
+def square(a):
+    return mul(a, a)
+
+
+def pow_const(a, e: int):
+    """a ** e for a host-known integer exponent (square-and-multiply)."""
+    e = int(e)
+    if e == 0:
+        return jnp.full_like(a, jnp.uint64(1))
+    result = None
+    base = a
+    while e:
+        if e & 1:
+            result = base if result is None else mul(result, base)
+        e >>= 1
+        if e:
+            base = square(base)
+    return result
+
+
+def inv(a):
+    """Field inverse via Fermat (a^(p-2)); inv(0) = 0 by convention."""
+    return pow_const(a, P - 2)
+
+
+def batch_inverse(a, axis: int = 0):
+    """Montgomery batch inversion along `axis` using two prefix-product scans.
+
+    Replaces the reference's sequential Polinomial::batchInverse
+    (src/starkpil/polinomial.hpp:698) with O(log n)-depth associative scans —
+    the TPU-friendly formulation (one field inversion total).
+    """
+    n = a.shape[axis]
+    fwd = jax.lax.associative_scan(mul, a, axis=axis)
+    rev = jax.lax.associative_scan(mul, a, axis=axis, reverse=True)
+    total_inv = inv(jax.lax.index_in_dim(fwd, n - 1, axis=axis, keepdims=True))
+    ones = jnp.ones_like(jax.lax.slice_in_dim(a, 0, 1, axis=axis))
+    pre = jnp.concatenate([ones, jax.lax.slice_in_dim(fwd, 0, n - 1, axis=axis)], axis=axis)
+    suf = jnp.concatenate([jax.lax.slice_in_dim(rev, 1, n, axis=axis), ones], axis=axis)
+    return mul(mul(pre, suf), total_inv)
+
+
+def from_int_array(xs) -> jax.Array:
+    """Host conversion: python ints / arbitrary ints -> canonical uint64 array."""
+    arr = np.array([int(v) % P for v in np.ravel(np.asarray(xs, dtype=object))], dtype=np.uint64)
+    return jnp.asarray(arr.reshape(np.shape(xs)))
+
+
+def to_int_list(a) -> list[int]:
+    return [int(v) for v in np.ravel(np.asarray(a))]

@@ -1,0 +1,91 @@
+"""Poseidon Merkle trees over Goldilocks (arity 2) on device.
+
+TPU-native replacement for the reference's `MerkleTreeGL`
+(src/starkpil/merkleTree/merkleTreeGL.cpp: merkelize() via
+PoseidonGoldilocks::merkletree_avx, getGroupProof() row + sibling path).
+The whole tree is built as a chain of batched Poseidon levels on the
+device; proofs are extracted with tiny host gathers (queries are ~64 paths
+per proof — negligible traffic), mirroring the reference's query phase.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import poseidon_gl as pos
+
+HASH_SIZE = pos.HASH_SIZE
+
+
+def merkelize_levels(source):
+    """Build all tree levels for a (H, W) source; H must be a power of 2.
+
+    Returns [leaves (H,4), ..., root_level (1,4)].
+    """
+    h = source.shape[0]
+    assert h & (h - 1) == 0, "height must be a power of two"
+    levels = [pos.linear_hash(source)]
+    while levels[-1].shape[0] > 1:
+        levels.append(pos.hash_level(levels[-1]))
+    return levels
+
+
+@jax.jit
+def _merkelize_levels_jit_src(source):
+    return merkelize_levels(source)
+
+
+@dataclasses.dataclass
+class MerkleTree:
+    """Committed source + hash levels. `source` layout is (height, width)."""
+
+    source: jax.Array          # (H, W) uint64
+    levels: list               # [(H,4), (H/2,4), ..., (1,4)]
+
+    @classmethod
+    def commit(cls, source) -> "MerkleTree":
+        return cls(source=source, levels=merkelize_levels(source))
+
+    @property
+    def height(self) -> int:
+        return self.source.shape[0]
+
+    @property
+    def width(self) -> int:
+        return self.source.shape[1]
+
+    def root(self) -> np.ndarray:
+        return np.asarray(self.levels[-1][0])
+
+    def proof_length(self) -> int:
+        return len(self.levels) - 1
+
+    def get_group_proof(self, idx: int):
+        """Row values + sibling path for leaf `idx` (host-side extraction)."""
+        row = np.asarray(self.source[idx])
+        siblings = []
+        i = idx
+        for lvl in self.levels[:-1]:
+            siblings.append(np.asarray(lvl[i ^ 1]))
+            i >>= 1
+        return row, np.stack(siblings) if siblings else np.zeros((0, HASH_SIZE), np.uint64)
+
+
+def verify_group_proof(root, idx: int, row, siblings, hasher=None) -> bool:
+    """Host-side proof check (verifier oracle). `hasher` = refmodel.Poseidon."""
+    if hasher is None:
+        from . import poseidon_constants as pc
+        from . import refmodel as rm
+
+        hasher = rm.Poseidon(pc.round_constants(), pc.mds_matrix())
+    node = hasher.linear_hash([int(v) for v in row])
+    i = idx
+    for sib in siblings:
+        s = [int(v) for v in sib]
+        node = hasher.hash_pair(node, s) if i % 2 == 0 else hasher.hash_pair(s, node)
+        i >>= 1
+    return node == [int(v) for v in root]

@@ -1,0 +1,111 @@
+"""Batched Poseidon-Goldilocks permutation and hashing on device (JAX).
+
+TPU-native replacement for the reference's `PoseidonGoldilocks`
+(`hash_full_result`, `linear_hash`, `merkletree_avx` — absent submodule; call
+sites: src/starkpil/transcript/transcript.cpp:23,46,
+src/starkpil/merkleTree/merkleTreeGL.cpp:37-44). The reference batches 4/8
+hashes per AVX2/AVX512 instruction; here the batch axis is the leading array
+axis and the VPU vectorizes across it — the natural TPU formulation is
+"hash a million rows at once".
+
+All functions are jit-friendly; the 30-round loop is unrolled at trace time
+(static), letting XLA fuse the whole permutation into one kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import goldilocks as gl
+from . import poseidon_constants as pc
+
+WIDTH = pc.WIDTH
+CAPACITY = 4
+RATE = 8
+HASH_SIZE = 4
+
+
+@functools.lru_cache(maxsize=4)
+def _tables(source: str):
+    """Device copies of (C, M) for the active constant set."""
+    C = np.array(pc.round_constants(), dtype=np.uint64).reshape(pc.N_ROUNDS, WIDTH)
+    M = np.array(pc.mds_matrix(), dtype=np.uint64)
+    return jnp.asarray(C), jnp.asarray(M)
+
+
+def _sbox(x):
+    x3 = gl.mul(gl.square(x), x)
+    return gl.mul(gl.mul(x3, x3), x)
+
+
+def _modsum_last(x):
+    """Mod-p sum along the last axis via a pairwise reduction tree."""
+    n = x.shape[-1]
+    while n > 1:
+        half = n // 2
+        lo = gl.add(x[..., :half], x[..., half : 2 * half])
+        if n % 2:
+            lo = lo.at[..., 0].set(gl.add(lo[..., 0], x[..., -1]))
+        x = lo
+        n = half
+    return x[..., 0]
+
+
+def permute(state):
+    """Poseidon permutation over (..., 12) uint64 states."""
+    C, M = _tables(pc.source())
+    half = pc.ROUNDS_F // 2
+    s = state
+    for r in range(pc.N_ROUNDS):
+        s = gl.add(s, C[r])
+        if half <= r < half + pc.ROUNDS_P:
+            s = s.at[..., 0].set(_sbox(s[..., 0]))
+        else:
+            s = _sbox(s)
+        # MDS: out_i = sum_j M[i][j] * s_j  (broadcast over batch axes)
+        prod = gl.mul(s[..., None, :], M)
+        s = _modsum_last(prod)
+    return s
+
+
+def hash_n_to_4(inputs):
+    """Single-permutation hash of (..., <=12) inputs (zero-padded)."""
+    *batch, n = inputs.shape
+    if n < WIDTH:
+        pad = jnp.zeros((*batch, WIDTH - n), dtype=jnp.uint64)
+        inputs = jnp.concatenate([inputs, pad], axis=-1)
+    return permute(inputs)[..., :HASH_SIZE]
+
+
+def linear_hash(rows):
+    """Row-wise sponge hash: (H, W) -> (H, 4).
+
+    Chunks of RATE elements, previous digest carried in the capacity. Rows of
+    width <= 4 are zero-padded copies (leaf convention of the reference's
+    linear_hash for narrow sources).
+    """
+    h, wdt = rows.shape
+    if wdt <= HASH_SIZE:
+        out = jnp.zeros((h, HASH_SIZE), dtype=jnp.uint64)
+        return out.at[:, :wdt].set(rows)
+    digest = jnp.zeros((h, HASH_SIZE), dtype=jnp.uint64)
+    for off in range(0, wdt, RATE):
+        chunk = rows[:, off : off + RATE]
+        if chunk.shape[1] < RATE:
+            chunk = jnp.concatenate(
+                [chunk, jnp.zeros((h, RATE - chunk.shape[1]), dtype=jnp.uint64)], axis=1
+            )
+        digest = permute(jnp.concatenate([chunk, digest], axis=1))[:, :HASH_SIZE]
+    return digest
+
+
+def hash_level(nodes):
+    """One Merkle reduction level: (H, 4) -> (H/2, 4)."""
+    h = nodes.shape[0]
+    pairs = nodes.reshape(h // 2, 2 * HASH_SIZE)
+    cap = jnp.zeros((h // 2, WIDTH - 2 * HASH_SIZE), dtype=jnp.uint64)
+    return permute(jnp.concatenate([pairs, cap], axis=1))[:, :HASH_SIZE]
