@@ -191,6 +191,25 @@ def batch_inverse(a, axis: int = 0):
     return mul(mul(pre, suf), total_inv)
 
 
+def modsum(x, axis=0):
+    """Sum of canonical field elements mod p along `axis`, O(1)-depth.
+
+    Splits each element into u32 halves so the native (wrapping) u64 sums
+    cannot overflow for up to 2^32 terms, then recombines mod p. This turns a
+    log-depth modular reduction tree into two hardware sums — the TPU
+    formulation of the reference's per-thread accumulate in evmap
+    (src/starkpil/starks.cpp:614-640).
+    """
+    n = x.shape[axis] if x.ndim else 1
+    assert n <= (1 << 32), "modsum supports up to 2^32 terms"
+    lo = jnp.sum(x & M32, axis=axis)
+    hi = jnp.sum(x >> np.uint64(32), axis=axis)
+    # lo, hi < 2^32 * n <= 2^64: exact. total = lo + 2^32*hi (mod p)
+    lo = jnp.where(lo >= P_U64, lo - P_U64, lo)  # lo < 2^64 < 2p
+    hi = jnp.where(hi >= P_U64, hi - P_U64, hi)
+    return add(lo, mul(hi, jnp.uint64(1 << 32)))
+
+
 def from_int_array(xs) -> jax.Array:
     """Host conversion: python ints / arbitrary ints -> canonical uint64 array."""
     arr = np.array([int(v) % P for v in np.ravel(np.asarray(xs, dtype=object))], dtype=np.uint64)

@@ -1,0 +1,507 @@
+"""The 5-phase eSTARK prover on device.
+
+TPU-native re-design of the reference's `Starks::genProof`
+(src/starkpil/starks.cpp:9-395):
+
+  phase 1  commit the stage-1 trace        (LDE + Merkle, starks.cpp:53-60)
+  phase 2  plookup h1/h2                   (starks.cpp:92-141)
+  phase 3  grand products z                (starks.cpp:174-222)
+  phase 4  quotient on the extended coset  (starks.cpp:241-293)
+  phase 5  openings at xi / w·xi + FRI pol (starks.cpp:302-386)
+  FRI      fold/commit/query               (fri/friProve.cpp)
+
+Differences from the reference's architecture (deliberate, TPU-first):
+  * no shared byte arena with mapOffsets — sections are plain device arrays
+    in a dict; XLA owns placement
+  * H1H2 is a device sort/segment pipeline instead of std::multimap
+    (Polinomial::calculateH1H2, polinomial.hpp:249)
+  * Z is a log-depth associative scan instead of a sequential loop
+    (Polinomial::calculateZ, polinomial.hpp:586)
+  * constraint evaluation is the traced expression DAG (expr.py), not
+    generated AVX chelpers
+  * the Fiat-Shamir transcript stays on host (it is a handful of Poseidon
+    calls); every bulk phase is a separate jit program
+
+The transcript absorb/squeeze schedule matches the reference exactly
+(SURVEY.md App. B) so the proof shape is drop-in compatible.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import gl3
+from ..ops import goldilocks as gl
+from ..ops import merkle
+from ..ops import ntt as nttmod
+from ..ops import transcript as tr
+from . import expr as ex
+from . import fri as frimod
+from .proof import LayerQueries, MerkleQuery, StarkProof
+from .setup import StarkSetup
+
+HASH_SIZE = 4
+
+
+# ---------------------------------------------------------------------------
+# device building blocks
+# ---------------------------------------------------------------------------
+
+
+def calculate_h1h2(f, t):
+    """Plookup h1/h2: (N, d) f/t -> ((N, d), (N, d), ok_flag).
+
+    Semantics of Polinomial::calculateH1H2_ (polinomial.hpp:304-347): the
+    multiset t ∪ f ordered by the t-index of each value, split alternately.
+    Device formulation: lexsort the combined array, propagate the canonical
+    (last) t-occurrence through equal-value runs with segment maxima, count
+    f-hits per t-row, then rebuild the interleaved sequence with a
+    searchsorted over the cumulative counts.
+    """
+    n, d = t.shape
+    comb = jnp.concatenate([t, f], axis=0)
+    is_f = jnp.concatenate(
+        [jnp.zeros(n, jnp.int32), jnp.ones(n, jnp.int32)]
+    )
+    tidx = jnp.concatenate(
+        [jnp.arange(n, dtype=jnp.int32), jnp.zeros(n, jnp.int32)]
+    )
+    order = jnp.lexsort(tuple(comb[:, i] for i in range(d)))
+    sc = comb[order]
+    sf = is_f[order]
+    sti = tidx[order]
+    boundary = jnp.concatenate(
+        [jnp.ones(1, jnp.int32), jnp.any(sc[1:] != sc[:-1], axis=1).astype(jnp.int32)]
+    )
+    seg = jnp.cumsum(boundary) - 1
+    t_or_neg = jnp.where(sf == 1, jnp.int32(-1), sti)
+    seg_max = jax.ops.segment_max(t_or_neg, seg, num_segments=2 * n)
+    canon = seg_max[seg]
+    ok = jnp.all((sf == 0) | (canon >= 0))  # every f value appears in t
+    f_cnt = jax.ops.segment_sum(sf, jnp.clip(canon, 0), num_segments=n)
+    cnt = 1 + f_cnt
+    cum = jnp.cumsum(cnt)
+    j = jnp.arange(2 * n, dtype=cum.dtype)
+    src = jnp.searchsorted(cum, j, side="right").astype(jnp.int32)
+    seq = t[src]
+    return seq[0::2], seq[1::2], ok
+
+
+def calculate_z(num, den):
+    """Grand product z[0]=1, z[i]=prod_{j<i} num_j/den_j as (N, 3).
+
+    Reference: Polinomial::calculateZ (polinomial.hpp:586) — sequential there,
+    a batch inversion + log-depth inclusive scan + shift here.
+    """
+    num3 = num if num.ndim == 2 else gl3.from_base(num)
+    den3 = den if den.ndim == 2 else gl3.from_base(den)
+    ratio = gl3.mul(num3, gl3.batch_inverse(den3, axis=0))
+    incl = jax.lax.associative_scan(gl3.mul, ratio, axis=0)
+    return jnp.concatenate([gl3.one((1,)), incl[:-1]], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# prover
+# ---------------------------------------------------------------------------
+
+
+class StarkProver:
+    """Holds the setup + preprocessed constants; `prove` runs the pipeline.
+
+    Reference analogue: the Starks object, which preloads const pols and their
+    Merkle tree at startup (src/starkpil/starks.hpp:75-140).
+    """
+
+    def __init__(self, setup: StarkSetup):
+        self.setup = setup
+        s = setup
+        self.blowup = 1 << (s.n_bits_ext - s.n_bits)
+
+        consts = (
+            np.stack(s.air.const_values, axis=1)
+            if s.air.const_values
+            else np.zeros((s.n, 0), dtype=np.uint64)
+        )
+        self.const_n = jnp.asarray(consts)
+        if consts.shape[1]:
+            self.const_2ns = jax.jit(
+                lambda v: nttmod.extend_pol(v, s.n_bits, s.n_bits_ext)
+            )(self.const_n)
+        else:
+            self.const_2ns = jnp.zeros((s.n_ext, 0), dtype=jnp.uint64)
+        self.const_tree = merkle.MerkleTree.commit(self.const_2ns)
+        self.verkey = self.const_tree.root()
+
+        # x and 1/Z_H on the extended coset (reference: x_2ns, ZhInv).
+        # Built EAGERLY so the values are concrete before any phase traces
+        # capture them (never cache tracers).
+        self._x_2ns = jax.jit(
+            lambda: gl.mul(
+                nttmod.geometric_powers(gl.w(s.n_bits_ext), s.n_ext),
+                jnp.uint64(gl.shift()),
+            )
+        )()
+        zi_vals = []
+        sn = pow(gl.shift(), s.n, gl.P)
+        wn = pow(gl.w(s.n_bits_ext), s.n, gl.P)
+        for m in range(self.blowup):
+            zh = (sn * pow(wn, m, gl.P) - 1) % gl.P
+            zi_vals.append(pow(zh, gl.P - 2, gl.P))
+        self._zi_2ns = jnp.asarray(np.tile(np.array(zi_vals, np.uint64), s.n))
+
+    # -- bindings ------------------------------------------------------------
+
+    def _col(self, sections, cid):
+        info = self.setup.cols[cid]
+        arr = sections[info.stage]
+        if info.dim == 1:
+            return arr[:, info.pos]
+        return arr[:, info.pos : info.pos + 3]
+
+    def _bindings(self, sections, consts, challenges, publics, *, ext: bool,
+                  x=None, zi=None, xdxx=None, xdwx=None, evals=None):
+        return ex.ArrayBindings(
+            cm=lambda cid: self._col(sections, cid),
+            const=lambda cid: consts[:, cid],
+            challenges=challenges,
+            publics=publics,
+            x=x,
+            zi=zi,
+            xdivxsubxi=xdxx,
+            xdivxsubwxi=xdwx,
+            evals=evals,
+            prime_stride=self.blowup if ext else 1,
+        )
+
+    def x_2ns(self):
+        return self._x_2ns
+
+    def zi_2ns(self):
+        """1/Z_H on the coset — periodic with period blowup (zhInv.cpp:7-31)."""
+        return self._zi_2ns
+
+    # -- phases (each jitted once per setup) ----------------------------------
+
+    @functools.cached_property
+    def _extend(self):
+        s = self.setup
+        return jax.jit(lambda v: nttmod.extend_pol(v, s.n_bits, s.n_bits_ext))
+
+    @functools.cached_property
+    def _phase2_fn(self):
+        s = self.setup
+
+        def run(cm1_n, const_n, challenges, publics):
+            sections = {1: cm1_n}
+            b = self._bindings(sections, const_n, challenges, publics, ext=False)
+            cols, oks = [], []
+            for plan in s.lookups:
+                fv = ex.eval_array(plan.f_exp, b)
+                tv = ex.eval_array(plan.t_exp, b)
+                fv = fv[:, None] if fv.ndim == 1 else fv
+                tv = tv[:, None] if tv.ndim == 1 else tv
+                h1, h2, ok = calculate_h1h2(fv, tv)
+                cols += [h1, h2]
+                oks.append(ok)
+            w2 = s.section_width[2]
+            cm2 = (
+                jnp.concatenate(cols, axis=1)
+                if cols
+                else jnp.zeros((s.n, w2), jnp.uint64)
+            )
+            return cm2, jnp.all(jnp.array(oks)) if oks else jnp.bool_(True)
+
+        return jax.jit(run)
+
+    @functools.cached_property
+    def _phase3_fn(self):
+        s = self.setup
+
+        def run(cm1_n, cm2_n, const_n, challenges, publics):
+            sections = {1: cm1_n, 2: cm2_n}
+            x_n = nttmod.geometric_powers(gl.w(s.n_bits), s.n)
+            b = self._bindings(sections, const_n, challenges, publics,
+                               ext=False, x=x_n)
+            cols = []
+            for plan in s.lookups + s.permutations + s.connections:
+                num = ex.eval_array(plan.num, b)
+                den = ex.eval_array(plan.den, b)
+                cols.append(calculate_z(num, den))
+            w3 = s.section_width[3]
+            return (
+                jnp.concatenate(cols, axis=1)
+                if cols
+                else jnp.zeros((s.n, w3), jnp.uint64)
+            )
+
+        return jax.jit(run)
+
+    @functools.cached_property
+    def _phase4_fn(self):
+        s = self.setup
+
+        def run(cm1_2ns, cm2_2ns, cm3_2ns, const_2ns, challenges, publics):
+            sections = {1: cm1_2ns, 2: cm2_2ns, 3: cm3_2ns}
+            b = self._bindings(sections, const_2ns, challenges, publics,
+                               ext=True, x=self.x_2ns(), zi=self.zi_2ns())
+            q = ex.eval_array(s.c_exp, b)  # (NExt, 3)
+            if q.ndim == 1:
+                q = gl3.from_base(q)
+            # split q into qDeg degree-<N polys, each evaluated on the coset
+            # (reference: INTT -> per-chunk shift^{-pN} scale -> NTT,
+            #  starks.cpp:262-287)
+            coefs = nttmod.intt(q, s.n_bits_ext)  # \hat c_j = c_j shift^j
+            shift_in = pow(gl.shift_inv(), s.n, gl.P)
+            chunks = []
+            for p in range(s.q_deg):
+                c = coefs[p * s.n : (p + 1) * s.n]
+                c = gl.mul(c, jnp.uint64(pow(shift_in, p, gl.P)))
+                pad = jnp.zeros((s.n_ext - s.n, 3), jnp.uint64)
+                chunks.append(nttmod.ntt(jnp.concatenate([c, pad]), s.n_bits_ext))
+            return jnp.concatenate(chunks, axis=1)  # (NExt, 3*qDeg)
+
+        return jax.jit(run)
+
+    @functools.cached_property
+    def _phase5_evals_fn(self):
+        s = self.setup
+
+        def run(sections_2ns, const_2ns, xi):
+            # Lagrange-at-xi weights over the strided coset rows
+            # (starks.cpp:302-330): LEv = INTT(geom(xi/shift)).
+            shift_i = jnp.uint64(gl.shift_inv())
+            xi_s = gl3.mul_base(xi, shift_i)
+            w_xi_s = gl3.mul_base(gl3.mul_base(xi, jnp.uint64(gl.w(s.n_bits))), shift_i)
+            lev = nttmod.intt(_geom3(xi_s, s.n), s.n_bits)
+            lpev = nttmod.intt(_geom3(w_xi_s, s.n), s.n_bits)
+            out = []
+            for e in s.ev_map:
+                if e.type == "cm":
+                    vals = self._col(sections_2ns, e.id)
+                else:
+                    info_dim = 1
+                    vals = const_2ns[:, e.id]
+                vals = vals[:: self.blowup]
+                weights = lpev if e.prime else lev
+                if vals.ndim == 1:
+                    prod = gl.mul(weights, vals[:, None])  # (N, 3)
+                else:
+                    prod = gl3.mul(weights, vals)
+                out.append(gl.modsum(prod, 0))
+            return jnp.stack(out)  # (nEv, 3)
+
+        return jax.jit(run)
+
+    @functools.cached_property
+    def _phase5_fri_fn(self):
+        s = self.setup
+
+        def run(sections_2ns, const_2ns, challenges, publics, evals):
+            x = self.x_2ns()
+            xi3 = challenges[7]
+            wxi3 = gl3.mul_base(xi3, jnp.uint64(gl.w(s.n_bits)))
+            xs = gl3.sub(gl3.from_base(x), jnp.broadcast_to(xi3, (s.n_ext, 3)))
+            xws = gl3.sub(gl3.from_base(x), jnp.broadcast_to(wxi3, (s.n_ext, 3)))
+            xdxx = gl3.mul_base(gl3.batch_inverse(xs, axis=0), x)
+            xdwx = gl3.mul_base(gl3.batch_inverse(xws, axis=0), x)
+            b = self._bindings(sections_2ns, const_2ns, challenges, publics,
+                               ext=True, x=x, zi=self.zi_2ns(),
+                               xdxx=xdxx, xdwx=xdwx, evals=evals)
+            f = ex.eval_array(s.fri_exp, b)
+            return f if f.ndim == 2 else gl3.from_base(f)
+
+        return jax.jit(run)
+
+    def check_constraints(self, cm1_values, publics=None) -> list[int]:
+        """Diagnostic: run phases 1-3 and evaluate every constraint on the
+        trace domain; returns indices of violated constraints (empty = ok).
+        The role of the reference's zkassert in calculateZ
+        (polinomial.hpp:606) and of proverjs pol checks."""
+        s = self.setup
+        cm1_n = jnp.asarray(cm1_values, dtype=jnp.uint64)
+        if publics is None:
+            publics = [int(cm1_values[row, cid]) for (_, cid, row) in s.air.publics]
+        publics_dev = jnp.asarray(np.array(publics, dtype=np.uint64))
+
+        transcript = tr.Transcript()
+        transcript.put([int(v) for v in self.verkey])
+        transcript.put(publics)
+        challenges = np.zeros((8, 3), dtype=np.uint64)
+        cm1_2ns = self._extend(cm1_n)
+        tree1 = merkle.MerkleTree.commit(cm1_2ns)
+        transcript.put([int(v) for v in tree1.root()])
+        challenges[0] = transcript.get_field3()
+        challenges[1] = transcript.get_field3()
+        cm2_n, ok = self._phase2_fn(cm1_n, self.const_n, jnp.asarray(challenges),
+                                    publics_dev)
+        cm2_2ns = self._extend(cm2_n) if s.section_width[2] else jnp.zeros(
+            (s.n_ext, 0), jnp.uint64)
+        tree2 = merkle.MerkleTree.commit(cm2_2ns)
+        transcript.put([int(v) for v in tree2.root()])
+        challenges[2] = transcript.get_field3()
+        challenges[3] = transcript.get_field3()
+        cm3_n = self._phase3_fn(cm1_n, cm2_n, self.const_n,
+                                jnp.asarray(challenges), publics_dev)
+        sections = {1: cm1_n, 2: cm2_n, 3: cm3_n}
+        x_n = nttmod.geometric_powers(gl.w(s.n_bits), s.n)
+        b = self._bindings(sections, self.const_n, jnp.asarray(challenges),
+                           publics_dev, ext=False, x=x_n)
+        bad = []
+        for i, c in enumerate(s.constraints):
+            v = ex.eval_array(c, b)
+            if int(jnp.max(v)) != 0:
+                bad.append(i)
+        return bad
+
+    # -- main entry ------------------------------------------------------------
+
+    def prove(self, cm1_values, publics=None) -> StarkProof:
+        """Generate a proof for stage-1 trace `cm1_values` ((N, nCm1) uint64)."""
+        s = self.setup
+        cm1_n = jnp.asarray(cm1_values, dtype=jnp.uint64)
+        assert cm1_n.shape == (s.n, s.air.n_cm1)
+
+        if publics is None:
+            publics = [
+                int(cm1_values[row, cid]) for (_, cid, row) in s.air.publics
+            ]
+        publics_dev = jnp.asarray(np.array(publics, dtype=np.uint64))
+
+        transcript = tr.Transcript()
+        transcript.put([int(v) for v in self.verkey])
+        transcript.put(publics)
+
+        challenges = np.zeros((8, 3), dtype=np.uint64)
+
+        # ---- phase 1
+        cm1_2ns = self._extend(cm1_n)
+        tree1 = merkle.MerkleTree.commit(cm1_2ns)
+        transcript.put([int(v) for v in tree1.root()])
+
+        # ---- phase 2
+        challenges[0] = transcript.get_field3()
+        challenges[1] = transcript.get_field3()
+        ch = jnp.asarray(challenges)
+        cm2_n, ok = self._phase2_fn(cm1_n, self.const_n, ch, publics_dev)
+        if not bool(ok):
+            raise ValueError("plookup violation: f value not present in t")
+        cm2_2ns = self._extend(cm2_n) if s.section_width[2] else jnp.zeros(
+            (s.n_ext, 0), jnp.uint64
+        )
+        tree2 = merkle.MerkleTree.commit(cm2_2ns)
+        transcript.put([int(v) for v in tree2.root()])
+
+        # ---- phase 3
+        challenges[2] = transcript.get_field3()
+        challenges[3] = transcript.get_field3()
+        ch = jnp.asarray(challenges)
+        cm3_n = self._phase3_fn(cm1_n, cm2_n, self.const_n, ch, publics_dev)
+        cm3_2ns = self._extend(cm3_n) if s.section_width[3] else jnp.zeros(
+            (s.n_ext, 0), jnp.uint64
+        )
+        tree3 = merkle.MerkleTree.commit(cm3_2ns)
+        transcript.put([int(v) for v in tree3.root()])
+
+        # ---- phase 4
+        challenges[4] = transcript.get_field3()
+        ch = jnp.asarray(challenges)
+        cm4_2ns = self._phase4_fn(cm1_2ns, cm2_2ns, cm3_2ns, self.const_2ns,
+                                  ch, publics_dev)
+        tree4 = merkle.MerkleTree.commit(cm4_2ns)
+        transcript.put([int(v) for v in tree4.root()])
+
+        # ---- phase 5
+        challenges[7] = transcript.get_field3()
+        ch = jnp.asarray(challenges)
+        sections_2ns = {1: cm1_2ns, 2: cm2_2ns, 3: cm3_2ns, 4: cm4_2ns}
+        evals_dev = self._phase5_evals_fn(sections_2ns, self.const_2ns,
+                                          jnp.asarray(challenges[7]))
+        evals_np = np.asarray(evals_dev)
+        for e in evals_np:
+            transcript.put([int(v) for v in e])
+        challenges[5] = transcript.get_field3()
+        challenges[6] = transcript.get_field3()
+        ch = jnp.asarray(challenges)
+        fri_pol = self._phase5_fri_fn(sections_2ns, self.const_2ns, ch,
+                                      publics_dev, evals_dev)
+
+        # ---- FRI fold/commit
+        # The reference squeezes special_x at the top of EVERY step iteration
+        # (including the si=0 copy, friProve.cpp:29-30); special_xs[si] folds
+        # layer si-1 -> si for si >= 1.
+        steps = s.fri_steps
+        layers = [fri_pol]
+        layer_trees = [None]
+        layer_roots = [None]
+        special_xs = []
+        for si in range(len(steps)):
+            special_xs.append(transcript.get_field3())
+            if si > 0:
+                folded = self._fold_jit(steps[si - 1], steps[si])(
+                    layers[si - 1], jnp.asarray(np.array(special_xs[si], np.uint64)),
+                )
+                layers.append(folded)
+            if si < len(steps) - 1:
+                src = frimod.group_for_tree(layers[si], steps[si + 1])
+                t = merkle.MerkleTree.commit(src)
+                layer_trees.append(t)
+                layer_roots.append(t.root())
+                transcript.put([int(v) for v in t.root()])
+            else:
+                final_np = np.asarray(layers[si])
+                for row in final_np:
+                    transcript.put([int(v) for v in row])
+
+        # ---- queries
+        ys = transcript.get_permutations(s.n_queries, steps[0])
+        fri_layers = []
+        trees0 = [tree1, tree2, tree3, tree4, self.const_tree]
+        q0 = []
+        for y in ys:
+            row = []
+            for t in trees0:
+                vals, sib = t.get_group_proof(int(y))
+                row.append(MerkleQuery(vals, sib))
+            q0.append(row)
+        fri_layers.append(LayerQueries(None, q0))
+        cur = list(ys)
+        for si in range(1, len(steps)):
+            cur = [y % (1 << steps[si]) for y in cur]
+            qs = []
+            for y in cur:
+                vals, sib = layer_trees[si].get_group_proof(int(y))
+                qs.append(MerkleQuery(vals, sib))
+            fri_layers.append(LayerQueries(np.asarray(layer_roots[si]), qs))
+
+        return StarkProof(
+            roots=[np.asarray(t.root()) for t in (tree1, tree2, tree3, tree4)],
+            evals=[tuple(int(v) for v in e) for e in evals_np],
+            fri=fri_layers,
+            final_pol=np.asarray(layers[-1]),
+            publics=list(publics),
+            n_queries=s.n_queries,
+            fri_steps=list(steps),
+        )
+
+    @functools.lru_cache(maxsize=None)
+    def _fold_jit(self, from_bits: int, to_bits: int):
+        s = self.setup
+        si = s.fri_steps.index(to_bits)
+        shift_inv = frimod.coset_shift_inv_at(si, s.n_bits_ext, s.fri_steps)
+        w_inv = pow(gl.w(from_bits), gl.P - 2, gl.P)
+        fold_bits = from_bits - to_bits
+        return jax.jit(
+            lambda vals, sx: frimod.fold_layer(vals, fold_bits, sx, shift_inv, w_inv)
+        )
+
+
+def _geom3(base3, n):
+    """[(1,0,0), base, base^2, ...] for an extension base — (n, 3) scan."""
+    seed = jnp.concatenate(
+        [gl3.one((1,)), jnp.broadcast_to(base3, (n - 1, 3))], axis=0
+    )
+    return jax.lax.associative_scan(gl3.mul, seed, axis=0)
