@@ -22,3 +22,9 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: XLA compiles of the unrolled NTT/Poseidon
+# graphs dominate test wall-clock on small hosts; cache them across runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/zkevm_prover_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -98,12 +98,29 @@ def _roundtrip(air, trace, **kw):
     return setup, prover, proof
 
 
+# provers/proofs shared between tests of the same AIR (jitted phases are
+# per-prover; re-tracing them for every test dominates suite wall-clock)
+_cache: dict = {}
+
+
+def _fib_rt():
+    if "fib" not in _cache:
+        _cache["fib"] = _roundtrip(fib_air(), fib_trace())
+    return _cache["fib"]
+
+
+def _lk_rt():
+    if "lk" not in _cache:
+        _cache["lk"] = _roundtrip(lookup_air(), lookup_trace(np.random.default_rng(7)))
+    return _cache["lk"]
+
+
 def test_fibonacci_roundtrip():
-    _roundtrip(fib_air(), fib_trace())
+    _fib_rt()
 
 
 def test_lookup_roundtrip():
-    _roundtrip(lookup_air(), lookup_trace(np.random.default_rng(7)))
+    _lk_rt()
 
 
 def test_permutation_roundtrip():
@@ -116,17 +133,15 @@ def test_connection_roundtrip():
 
 
 def test_proof_json_roundtrip():
-    setup, prover, proof = _roundtrip(fib_air(), fib_trace())
+    setup, prover, proof = _fib_rt()
     p2 = StarkProof.from_json(proof.to_json())
     assert verify(setup, prover.verkey, p2)
 
 
 def test_tampered_trace_rejected():
-    air = fib_air()
+    setup, prover, _ = _fib_rt()
     trace = fib_trace()
     trace[5, 0] = (int(trace[5, 0]) + 1) % gl.P
-    setup = StarkSetup(air, n_queries=8, fri_fold_bits=2)
-    prover = StarkProver(setup)
     assert prover.check_constraints(trace) != []
     proof = prover.prove(trace)
     with pytest.raises(VerifyError):
@@ -134,7 +149,7 @@ def test_tampered_trace_rejected():
 
 
 def test_tampered_proof_rejected():
-    setup, prover, proof = _roundtrip(fib_air(), fib_trace())
+    setup, prover, proof = _fib_rt()
     # 1. tamper an eval
     e = list(proof.evals)
     e[0] = ((e[0][0] + 1) % gl.P, e[0][1], e[0][2])
@@ -155,11 +170,9 @@ def test_tampered_proof_rejected():
 
 
 def test_lookup_violation_detected():
-    air = lookup_air()
+    setup, prover, _ = _lk_rt()
     trace = lookup_trace(np.random.default_rng(7))
     trace[3, 0] = 1  # 1 is not a multiple of 3 -> not in table
-    setup = StarkSetup(air, n_queries=8, fri_fold_bits=2)
-    prover = StarkProver(setup)
     with pytest.raises(ValueError, match="plookup violation"):
         prover.prove(trace)
 

@@ -1,0 +1,91 @@
+"""Node/program store behind the SMT.
+
+Reference: src/hashdb/database.cpp (PostgreSQL nodes/program tables with an
+in-memory cache and batched multiWrite). The TPU framework's default backend
+is an in-process dict with optional file persistence — the role PostgreSQL
+plays for the reference is out of scope for proving performance, and the
+interface is factored so a real KV/SQL backend can be dropped in (the gRPC
+HashDB service uses this same interface remotely).
+
+Keys are 4-tuples of Goldilocks ints (node hashes); node values are lists of
+12 field elements (8 data + 4 capacity flag, SURVEY.md App. D); programs are
+byte strings keyed the same way.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+
+
+def _k(key) -> str:
+    return "%016x%016x%016x%016x" % tuple(int(v) for v in key)
+
+
+class Database:
+    """Thread-safe node/program store with write-through file persistence."""
+
+    def __init__(self, path: str | None = None):
+        self._nodes: dict[str, list[int]] = {}
+        self._programs: dict[str, bytes] = {}
+        self._lock = threading.Lock()
+        self._path = path
+        if path and os.path.exists(path):
+            self._load(path)
+
+    # -- nodes ---------------------------------------------------------------
+
+    def read(self, key) -> list[int] | None:
+        with self._lock:
+            v = self._nodes.get(_k(key))
+            return list(v) if v is not None else None
+
+    def write(self, key, value: list[int]) -> None:
+        assert len(value) == 12
+        with self._lock:
+            self._nodes[_k(key)] = [int(x) for x in value]
+
+    # -- programs (contract bytecode keyed by poseidon linear hash) ----------
+
+    def get_program(self, key) -> bytes | None:
+        with self._lock:
+            return self._programs.get(_k(key))
+
+    def set_program(self, key, data: bytes) -> None:
+        with self._lock:
+            self._programs[_k(key)] = bytes(data)
+
+    # -- bulk / persistence ----------------------------------------------------
+
+    def multi_write(self, nodes: dict, programs: dict | None = None) -> None:
+        """Batched flush (reference: multiWrite, src/hashdb/multi_write.cpp)."""
+        with self._lock:
+            for key, value in nodes.items():
+                self._nodes[_k(key) if not isinstance(key, str) else key] = [
+                    int(x) for x in value
+                ]
+            for key, data in (programs or {}).items():
+                self._programs[_k(key) if not isinstance(key, str) else key] = bytes(data)
+
+    def save(self, path: str | None = None) -> None:
+        path = path or self._path
+        assert path, "no persistence path configured"
+        with self._lock:
+            blob = {
+                "nodes": self._nodes,
+                "programs": {k: v.hex() for k, v in self._programs.items()},
+            }
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(blob, f)
+        os.replace(tmp, path)
+
+    def _load(self, path: str) -> None:
+        with open(path) as f:
+            blob = json.load(f)
+        self._nodes = {k: [int(x) for x in v] for k, v in blob["nodes"].items()}
+        self._programs = {k: bytes.fromhex(v) for k, v in blob["programs"].items()}
+
+    def __len__(self) -> int:
+        return len(self._nodes)

@@ -1,0 +1,91 @@
+"""HashDB facade — the interface the executor and the gRPC service consume.
+
+Reference: HashDBInterface (src/hashdb/hashdb_interface.hpp: set/get/
+setProgram/getProgram/flush/getFlushStatus/consolidateState/...) and its local
+implementation (src/service/hashdb/hashdb.cpp). The factory local/remote
+switch (hashdb_factory.cpp:13-27) is mirrored by services/hashdb_client.py.
+
+Persistence modes follow the reference enum: CACHE (batch overlay only),
+DATABASE (write-through), TEMPORARY.
+"""
+
+from __future__ import annotations
+
+from ..ops import keccak as _keccak
+from ..ops import poseidon_constants as pc
+from ..ops import refmodel as rm
+from .database import Database
+from .smt import Smt, SmtGetResult, SmtSetResult
+from .state_manager import StateManager
+
+PERSISTENCE_CACHE = 0
+PERSISTENCE_DATABASE = 1
+PERSISTENCE_TEMPORARY = 2
+
+
+class HashDB:
+    def __init__(self, db: Database | None = None):
+        self.db = db if db is not None else Database()
+        self.state = StateManager(self.db)
+        self._poseidon = rm.Poseidon(pc.round_constants(), pc.mds_matrix())
+
+    # -- SMT state --------------------------------------------------------------
+
+    def set(self, batch_uuid: str, tx: int, old_root, key, value: int,
+            persistence: int = PERSISTENCE_CACHE) -> SmtSetResult:
+        smt = Smt(self._db_for(batch_uuid, persistence))
+        return smt.set(tuple(old_root), tuple(key), int(value))
+
+    def get(self, batch_uuid: str, root, key) -> SmtGetResult:
+        smt = Smt(self._db_for(batch_uuid, PERSISTENCE_CACHE))
+        return smt.get(tuple(root), tuple(key))
+
+    # -- program (contract bytecode) ---------------------------------------------
+
+    def set_program(self, batch_uuid: str, key, data: bytes,
+                    persistence: int = PERSISTENCE_CACHE) -> None:
+        self._db_for(batch_uuid, persistence).set_program(key, data)
+
+    def get_program(self, batch_uuid: str, key) -> bytes | None:
+        return self._db_for(batch_uuid, PERSISTENCE_CACHE).get_program(key)
+
+    # -- batch lifecycle -----------------------------------------------------------
+
+    def begin_batch(self, batch_uuid: str, old_root=(0, 0, 0, 0)) -> None:
+        self.state.begin_batch(batch_uuid, old_root)
+
+    def semi_flush(self, batch_uuid: str, new_root) -> None:
+        self.state.semi_flush(batch_uuid, new_root)
+
+    def flush(self, batch_uuid: str, new_state_root=None) -> tuple[int, int]:
+        return self.state.flush(batch_uuid, new_state_root)
+
+    def get_flush_status(self) -> dict:
+        return self.state.get_flush_status()
+
+    def cancel_batch(self, batch_uuid: str) -> None:
+        self.state.cancel_batch(batch_uuid)
+
+    # -- helpers --------------------------------------------------------------------
+
+    def _db_for(self, batch_uuid: str, persistence: int):
+        if batch_uuid and batch_uuid in self.state._batches:
+            return self.state.overlay_db(batch_uuid)
+        return self.db
+
+    def hash_program(self, data: bytes) -> tuple:
+        """Poseidon linear hash of padded bytecode (program key derivation,
+        reference: hashContractBytecode)."""
+        padded = bytearray(data)
+        padded.append(0x01)
+        while len(padded) % 56:
+            padded.append(0)
+        padded[-1] |= 0x80
+        elems = []
+        for off in range(0, len(padded), 7):
+            elems.append(int.from_bytes(padded[off : off + 7], "little"))
+        return tuple(self._poseidon.linear_hash(elems))
+
+    @staticmethod
+    def keccak256(data: bytes) -> bytes:
+        return _keccak.keccak256(data)

@@ -1,0 +1,505 @@
+"""BN254 (alt_bn128) host arithmetic: fields, towers, curves, pairing, MSM.
+
+Framework counterpart of the reference's ffiasm layer (src/ffiasm/: circom-
+generated Montgomery asm for Fq/Fr, AltBn128::Engine curve ops, Pippenger
+ParallelMultiexp in multiexp.c.hpp, FFT<Field> for Groth16) — re-implemented
+from the curve's public parameters with exact python ints. This is the
+correctness layer; the device (Pallas) Montgomery-limb MSM is the perf path
+and cross-checks against this model.
+
+The verifier-side optimal ate pairing replaces the reference's dependence on
+external verification (snarkjs ffv) so Groth16 proofs are checked in-stack.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+# curve parameters (EIP-196/197)
+P = 21888242871839275222246405745257275088696311157297823662689037894645226208583
+R = 21888242871839275222246405745257275088548364400416034343698204186575808495617
+B = 3  # y^2 = x^3 + 3
+CURVE_X = 4965661367192848881  # BN parameter x (t = 6x^2+1)
+
+G1_GEN = (1, 2)
+G2_GEN = (
+    (
+        10857046999023057135944570762232829481370756359578518086990519993285655852781,
+        11559732032986387107991004021392285783925812861821192530917403151452391805634,
+    ),
+    (
+        8495653923123431417604973247489272438418190587263600148770280649306958101930,
+        4082367875863433681332203403145435568316851327593401208105741076214120093531,
+    ),
+)
+
+
+# --- Fr / Fq scalar helpers ----------------------------------------------------
+
+
+def fr_inv(a: int) -> int:
+    return pow(a, R - 2, R)
+
+
+def fq_inv(a: int) -> int:
+    return pow(a, P - 2, P)
+
+
+# --- Fq2 = Fq[u]/(u^2+1) --------------------------------------------------------
+
+
+def f2_add(a, b):
+    return ((a[0] + b[0]) % P, (a[1] + b[1]) % P)
+
+
+def f2_sub(a, b):
+    return ((a[0] - b[0]) % P, (a[1] - b[1]) % P)
+
+
+def f2_mul(a, b):
+    t0 = a[0] * b[0] % P
+    t1 = a[1] * b[1] % P
+    return ((t0 - t1) % P, ((a[0] + a[1]) * (b[0] + b[1]) - t0 - t1) % P)
+
+
+def f2_muls(a, s: int):
+    return (a[0] * s % P, a[1] * s % P)
+
+
+def f2_sq(a):
+    return f2_mul(a, a)
+
+
+def f2_neg(a):
+    return ((-a[0]) % P, (-a[1]) % P)
+
+
+def f2_conj(a):
+    return (a[0], (-a[1]) % P)
+
+
+def f2_inv(a):
+    d = fq_inv((a[0] * a[0] + a[1] * a[1]) % P)
+    return (a[0] * d % P, (-a[1] * d) % P)
+
+
+F2_ZERO = (0, 0)
+F2_ONE = (1, 0)
+# xi = 9 + u, the sextic twist constant
+XI = (9, 1)
+
+
+# --- Fq6 = Fq2[v]/(v^3 - xi), Fq12 = Fq6[w]/(w^2 - v) ----------------------------
+
+
+def f6_add(a, b):
+    return tuple(f2_add(x, y) for x, y in zip(a, b))
+
+
+def f6_sub(a, b):
+    return tuple(f2_sub(x, y) for x, y in zip(a, b))
+
+
+def f6_mul(a, b):
+    a0, a1, a2 = a
+    b0, b1, b2 = b
+    t0, t1, t2 = f2_mul(a0, b0), f2_mul(a1, b1), f2_mul(a2, b2)
+    c0 = f2_add(t0, f2_mul(XI, f2_sub(f2_mul(f2_add(a1, a2), f2_add(b1, b2)), f2_add(t1, t2))))
+    c1 = f2_add(f2_sub(f2_mul(f2_add(a0, a1), f2_add(b0, b1)), f2_add(t0, t1)), f2_mul(XI, t2))
+    c2 = f2_add(f2_sub(f2_mul(f2_add(a0, a2), f2_add(b0, b2)), f2_add(t0, t2)), t1)
+    return (c0, c1, c2)
+
+
+def f6_muls2(a, s):  # multiply by Fq2 scalar
+    return tuple(f2_mul(x, s) for x in a)
+
+
+def f6_neg(a):
+    return tuple(f2_neg(x) for x in a)
+
+
+def f6_mul_v(a):  # multiply by v: (a0,a1,a2) -> (xi*a2, a0, a1)
+    return (f2_mul(XI, a[2]), a[0], a[1])
+
+
+def f6_inv(a):
+    a0, a1, a2 = a
+    c0 = f2_sub(f2_sq(a0), f2_mul(XI, f2_mul(a1, a2)))
+    c1 = f2_sub(f2_mul(XI, f2_sq(a2)), f2_mul(a0, a1))
+    c2 = f2_sub(f2_sq(a1), f2_mul(a0, a2))
+    t = f2_inv(
+        f2_add(
+            f2_mul(a0, c0),
+            f2_mul(XI, f2_add(f2_mul(a2, c1), f2_mul(a1, c2))),
+        )
+    )
+    return (f2_mul(c0, t), f2_mul(c1, t), f2_mul(c2, t))
+
+
+F6_ZERO = (F2_ZERO, F2_ZERO, F2_ZERO)
+F6_ONE = (F2_ONE, F2_ZERO, F2_ZERO)
+
+
+def f12_mul(a, b):
+    a0, a1 = a
+    b0, b1 = b
+    t0 = f6_mul(a0, b0)
+    t1 = f6_mul(a1, b1)
+    c0 = f6_add(t0, f6_mul_v(t1))
+    c1 = f6_sub(f6_sub(f6_mul(f6_add(a0, a1), f6_add(b0, b1)), t0), t1)
+    return (c0, c1)
+
+
+def f12_sq(a):
+    return f12_mul(a, a)
+
+
+def f12_conj(a):
+    return (a[0], f6_neg(a[1]))
+
+
+def f12_inv(a):
+    a0, a1 = a
+    t = f6_inv(f6_sub(f6_mul(a0, a0), f6_mul_v(f6_mul(a1, a1))))
+    return (f6_mul(a0, t), f6_neg(f6_mul(a1, t)))
+
+
+def f12_pow(a, e: int):
+    r = F12_ONE
+    b = a
+    while e:
+        if e & 1:
+            r = f12_mul(r, b)
+        b = f12_sq(b)
+        e >>= 1
+    return r
+
+
+F12_ONE = (F6_ONE, F6_ZERO)
+
+
+# --- G1 (affine/Jacobian over Fq) -------------------------------------------------
+
+INF = None  # point at infinity
+
+
+def g1_add(p1, p2):
+    if p1 is INF:
+        return p2
+    if p2 is INF:
+        return p1
+    x1, y1 = p1
+    x2, y2 = p2
+    if x1 == x2:
+        if (y1 + y2) % P == 0:
+            return INF
+        return g1_double(p1)
+    s = (y2 - y1) * fq_inv(x2 - x1) % P
+    x3 = (s * s - x1 - x2) % P
+    return (x3, (s * (x1 - x3) - y1) % P)
+
+
+def g1_double(pt):
+    if pt is INF:
+        return INF
+    x, y = pt
+    if y == 0:
+        return INF
+    s = 3 * x * x * fq_inv(2 * y) % P
+    x3 = (s * s - 2 * x) % P
+    return (x3, (s * (x - x3) - y) % P)
+
+
+def g1_neg(pt):
+    return INF if pt is INF else (pt[0], (-pt[1]) % P)
+
+
+def g1_mul(pt, k: int):
+    k %= R
+    acc = INF
+    add = pt
+    while k:
+        if k & 1:
+            acc = g1_add(acc, add)
+        add = g1_double(add)
+        k >>= 1
+    return acc
+
+
+def g1_is_on_curve(pt) -> bool:
+    if pt is INF:
+        return True
+    x, y = pt
+    return (y * y - x * x * x - B) % P == 0
+
+
+# --- G2 (over Fq2, twist curve y^2 = x^3 + 3/(9+u)) -------------------------------
+
+B2 = f2_mul((3, 0), f2_inv(XI))
+
+
+def g2_add(p1, p2):
+    if p1 is INF:
+        return p2
+    if p2 is INF:
+        return p1
+    x1, y1 = p1
+    x2, y2 = p2
+    if x1 == x2:
+        if f2_add(y1, y2) == F2_ZERO:
+            return INF
+        return g2_double(p1)
+    s = f2_mul(f2_sub(y2, y1), f2_inv(f2_sub(x2, x1)))
+    x3 = f2_sub(f2_sub(f2_sq(s), x1), x2)
+    return (x3, f2_sub(f2_mul(s, f2_sub(x1, x3)), y1))
+
+
+def g2_double(pt):
+    if pt is INF:
+        return INF
+    x, y = pt
+    if y == F2_ZERO:
+        return INF
+    s = f2_mul(f2_muls(f2_sq(x), 3), f2_inv(f2_muls(y, 2)))
+    x3 = f2_sub(f2_sq(s), f2_muls(x, 2))
+    return (x3, f2_sub(f2_mul(s, f2_sub(x, x3)), y))
+
+
+def g2_neg(pt):
+    return INF if pt is INF else (pt[0], f2_neg(pt[1]))
+
+
+def g2_mul(pt, k: int):
+    k %= R
+    acc = INF
+    add = pt
+    while k:
+        if k & 1:
+            acc = g2_add(acc, add)
+        add = g2_double(add)
+        k >>= 1
+    return acc
+
+
+def g2_is_on_curve(pt) -> bool:
+    if pt is INF:
+        return True
+    x, y = pt
+    return f2_sub(f2_sq(y), f2_add(f2_mul(f2_sq(x), x), B2)) == F2_ZERO
+
+
+# --- Pippenger MSM ------------------------------------------------------------------
+# Reference: ParallelMultiexp (src/ffiasm/multiexp.c.hpp:37-115): bucket method
+# with per-chunk accumulators and a final bucket collapse. Window size follows
+# the same log(n)-driven heuristic.
+
+
+def g1_msm(points, scalars) -> tuple | None:
+    assert len(points) == len(scalars)
+    n = len(points)
+    if n == 0:
+        return INF
+    c = max(1, int.bit_length(n) - 1)  # window bits
+    n_bits = 256
+    windows = (n_bits + c - 1) // c
+    result = INF
+    for w in range(windows - 1, -1, -1):
+        if result is not INF:
+            for _ in range(c):
+                result = g1_double(result)
+        buckets = [INF] * (1 << c)
+        for pt, s in zip(points, scalars):
+            idx = (s >> (w * c)) & ((1 << c) - 1)
+            if idx:
+                buckets[idx] = g1_add(buckets[idx], pt)
+        running, acc = INF, INF
+        for b in range(len(buckets) - 1, 0, -1):
+            running = g1_add(running, buckets[b])
+            acc = g1_add(acc, running)
+        result = g1_add(result, acc)
+    return result
+
+
+def g2_msm(points, scalars):
+    acc = INF
+    for pt, s in zip(points, scalars):
+        if s % R:
+            acc = g2_add(acc, g2_mul(pt, s))
+    return acc
+
+
+# --- FFT over Fr ---------------------------------------------------------------------
+# Reference: FFT<Field> (src/ffiasm/fft.hpp) used by Groth16 for the quotient.
+
+# 2-adicity of r-1 is 28; generator 5 is a quadratic nonresidue giving the tower
+FR_TWO_ADICITY = 28
+_FR_GEN = 5
+FR_ROOT = pow(_FR_GEN, (R - 1) >> FR_TWO_ADICITY, R)  # order 2^28
+
+
+def fr_w(n_bits: int) -> int:
+    assert n_bits <= FR_TWO_ADICITY
+    return pow(FR_ROOT, 1 << (FR_TWO_ADICITY - n_bits), R)
+
+
+def fr_fft(xs: list[int], inverse: bool = False) -> list[int]:
+    n = len(xs)
+    n_bits = n.bit_length() - 1
+    assert 1 << n_bits == n
+    w = fr_w(n_bits)
+    if inverse:
+        w = pow(w, R - 2, R)
+    out = list(xs)
+    # iterative bit-reversed Cooley-Tukey
+    j = 0
+    for i in range(1, n):
+        bit = n >> 1
+        while j & bit:
+            j ^= bit
+            bit >>= 1
+        j |= bit
+        if i < j:
+            out[i], out[j] = out[j], out[i]
+    m = 2
+    while m <= n:
+        wm = pow(w, n // m, R)
+        for k in range(0, n, m):
+            wj = 1
+            for l in range(m // 2):
+                t = wj * out[k + l + m // 2] % R
+                u = out[k + l]
+                out[k + l] = (u + t) % R
+                out[k + l + m // 2] = (u - t) % R
+                wj = wj * wm % R
+        m <<= 1
+    if inverse:
+        n_inv = pow(n, R - 2, R)
+        out = [v * n_inv % R for v in out]
+    return out
+
+
+# --- optimal ate pairing ----------------------------------------------------------
+# Strategy: untwist G2 points into E(Fq12) (w^6 = xi in our tower, so the
+# untwist is (x, y) -> (x·w^2, y·w^3) = (x·v, y·v·w)) and run the Miller loop
+# with generic Fq12 line functions. This is the slow-but-transparent oracle —
+# the role snarkjs verification plays for the reference (runtime/README.md).
+
+ATE_LOOP_COUNT = 6 * CURVE_X + 2
+
+
+def f12_add(a, b):
+    return (f6_add(a[0], b[0]), f6_add(a[1], b[1]))
+
+
+def f12_sub(a, b):
+    return (f6_sub(a[0], b[0]), f6_sub(a[1], b[1]))
+
+
+F12_ZERO = (F6_ZERO, F6_ZERO)
+
+
+def _f12_embed_fq(a: int):
+    return (((a % P, 0), F2_ZERO, F2_ZERO), F6_ZERO)
+
+
+def _untwist(q):
+    """G2 (affine over Fq2) -> affine point on E(Fq12)."""
+    x, y = q
+    return (
+        ((F2_ZERO, x, F2_ZERO), F6_ZERO),        # x·v
+        (F6_ZERO, (F2_ZERO, y, F2_ZERO)),        # y·v·w
+    )
+
+
+def _e12_add(p1, p2):
+    if p1 is INF:
+        return p2
+    if p2 is INF:
+        return p1
+    x1, y1 = p1
+    x2, y2 = p2
+    if x1 == x2:
+        if f12_add(y1, y2) == F12_ZERO:
+            return INF
+        return _e12_double(p1)
+    s = f12_mul(f12_sub(y2, y1), f12_inv(f12_sub(x2, x1)))
+    x3 = f12_sub(f12_sub(f12_sq(s), x1), x2)
+    return (x3, f12_sub(f12_mul(s, f12_sub(x1, x3)), y1))
+
+
+def _e12_double(pt):
+    x, y = pt
+    s = f12_mul(
+        f12_mul(_f12_embed_fq(3), f12_sq(x)),
+        f12_inv(f12_mul(_f12_embed_fq(2), y)),
+    )
+    x3 = f12_sub(f12_sq(s), f12_mul(_f12_embed_fq(2), x))
+    return (x3, f12_sub(f12_mul(s, f12_sub(x, x3)), y))
+
+
+def _e12_neg(pt):
+    return INF if pt is INF else (pt[0], f12_sub(F12_ZERO, pt[1]))
+
+
+def _linefunc(p1, p2, t):
+    """Evaluate the line through p1, p2 (E(Fq12)) at t."""
+    x1, y1 = p1
+    x2, y2 = p2
+    xt, yt = t
+    if x1 != x2:
+        m = f12_mul(f12_sub(y2, y1), f12_inv(f12_sub(x2, x1)))
+        return f12_sub(f12_mul(m, f12_sub(xt, x1)), f12_sub(yt, y1))
+    if y1 == y2:
+        m = f12_mul(
+            f12_mul(_f12_embed_fq(3), f12_sq(x1)),
+            f12_inv(f12_mul(_f12_embed_fq(2), y1)),
+        )
+        return f12_sub(f12_mul(m, f12_sub(xt, x1)), f12_sub(yt, y1))
+    return f12_sub(xt, x1)  # vertical line
+
+
+def _f12_frobenius(a, power: int = 1):
+    """a^(p^power) via plain exponentiation (host oracle; not hot)."""
+    return f12_pow(a, P**power)
+
+
+def miller_loop(q, pt):
+    """Optimal ate Miller loop; q in G2 (Fq2 affine), pt in G1 (Fq affine)."""
+    if q is INF or pt is INF:
+        return F12_ONE
+    qq = _untwist(q)
+    tt = (_f12_embed_fq(pt[0]), _f12_embed_fq(pt[1]))
+    f = F12_ONE
+    r_pt = qq
+    for bch in bin(ATE_LOOP_COUNT)[3:]:
+        f = f12_mul(f12_sq(f), _linefunc(r_pt, r_pt, tt))
+        r_pt = _e12_double(r_pt)
+        if bch == "1":
+            f = f12_mul(f, _linefunc(r_pt, qq, tt))
+            r_pt = _e12_add(r_pt, qq)
+    # frobenius correction terms of the optimal ate pairing
+    q1 = (_f12_frobenius(qq[0]), _f12_frobenius(qq[1]))
+    nq2 = _e12_neg((_f12_frobenius(q1[0]), _f12_frobenius(q1[1])))
+    f = f12_mul(f, _linefunc(r_pt, q1, tt))
+    r_pt = _e12_add(r_pt, q1)
+    f = f12_mul(f, _linefunc(r_pt, nq2, tt))
+    return f
+
+
+def final_exponentiation(f):
+    """f^((p^12-1)/r) — plain big-int exponent (correctness model)."""
+    e = (P**12 - 1) // R
+    return f12_pow(f, e)
+
+
+def pairing(pt, q):
+    """e(P, Q) for P in G1, Q in G2."""
+    return final_exponentiation(miller_loop(q, pt))
+
+
+def pairing_check(pairs) -> bool:
+    """prod e(P_i, Q_i) == 1 (the Groth16 verification equation shape)."""
+    f = F12_ONE
+    for pt, q in pairs:
+        f = f12_mul(f, miller_loop(q, pt))
+    return final_exponentiation(f) == F12_ONE

@@ -30,10 +30,17 @@ HASH_SIZE = 4
 
 
 @functools.lru_cache(maxsize=4)
-def _tables(source: str):
-    """Device copies of (C, M) for the active constant set."""
+def _tables_host(source: str):
+    """Host copies of (C, M) for the active constant set. Cached as NUMPY —
+    never cache device arrays here: the first call may happen inside a jit
+    trace, where jnp constants are tracers that must not outlive the trace."""
     C = np.array(pc.round_constants(), dtype=np.uint64).reshape(pc.N_ROUNDS, WIDTH)
     M = np.array(pc.mds_matrix(), dtype=np.uint64)
+    return C, M
+
+
+def _tables(source: str):
+    C, M = _tables_host(source)
     return jnp.asarray(C), jnp.asarray(M)
 
 
@@ -56,19 +63,30 @@ def _modsum_last(x):
 
 
 def permute(state):
-    """Poseidon permutation over (..., 12) uint64 states."""
+    """Poseidon permutation over (..., 12) uint64 states.
+
+    Rounds run under lax.fori_loop (4 full / 22 partial / 4 full) instead of
+    a 30-round unrolled graph: XLA's CPU backend compiles huge unrolled field
+    arithmetic pathologically slowly, and on TPU the body fuses either way.
+    """
     C, M = _tables(pc.source())
     half = pc.ROUNDS_F // 2
-    s = state
-    for r in range(pc.N_ROUNDS):
-        s = gl.add(s, C[r])
-        if half <= r < half + pc.ROUNDS_P:
-            s = s.at[..., 0].set(_sbox(s[..., 0]))
-        else:
-            s = _sbox(s)
+
+    def mds(s):
         # MDS: out_i = sum_j M[i][j] * s_j  (broadcast over batch axes)
-        prod = gl.mul(s[..., None, :], M)
-        s = _modsum_last(prod)
+        return _modsum_last(gl.mul(s[..., None, :], M))
+
+    def full_round(r, s):
+        return mds(_sbox(gl.add(s, C[r])))
+
+    def partial_round(r, s):
+        s = gl.add(s, C[r])
+        s = s.at[..., 0].set(_sbox(s[..., 0]))
+        return mds(s)
+
+    s = jax.lax.fori_loop(0, half, full_round, state)
+    s = jax.lax.fori_loop(half, half + pc.ROUNDS_P, partial_round, s)
+    s = jax.lax.fori_loop(half + pc.ROUNDS_P, pc.N_ROUNDS, full_round, s)
     return s
 
 
