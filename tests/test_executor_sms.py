@@ -1,0 +1,142 @@
+"""Co-processor SM traces satisfy their AIRs; negative cases are caught.
+
+Mirrors the reference's per-SM tests (test/sm/binary_test.cpp,
+mem_align_test.cpp, arith_test.cpp — SURVEY.md §4.2): execute hardcoded
+action vectors, check the constraint system, full prove/verify for one SM.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from zkevm_prover_tpu.executor import BatchActions, Executor
+from zkevm_prover_tpu.executor.sm import arith, binary, memory
+from zkevm_prover_tpu.stark.prover import StarkProver
+from zkevm_prover_tpu.stark.setup import StarkSetup
+from zkevm_prover_tpu.stark.verifier import verify
+
+N_BITS = 9        # all SM domains (binary uses 2-bit slices at this size)
+BIN_SLICE = 2     # 2-bit slice table (224 rows) fits a 2^9 domain
+M256 = (1 << 256) - 1
+
+
+_provers: dict = {}
+
+
+def _prover_for(name, build_air, n_bits):
+    key = (name, n_bits)
+    if key not in _provers:
+        _provers[key] = StarkProver(
+            StarkSetup(build_air(n_bits), n_queries=8, fri_fold_bits=2)
+        )
+    return _provers[key]
+
+
+def _check(name, build_air, n_bits, trace):
+    prover = _prover_for(name, build_air, n_bits)
+    bad = prover.check_constraints(trace)
+    assert bad == [], f"violated constraints: {bad}"
+    return prover
+
+
+def test_binary_results():
+    rng = random.Random(0)
+    a, b = rng.getrandbits(256), rng.getrandbits(256)
+    acts = [{"op": op, "a": a, "b": b} for op in binary.OPS]
+    got = binary.results(acts)
+    assert got[0] == a & b and got[1] == a | b and got[2] == a ^ b
+    assert got[3] == (a + b) & M256 and got[4] == (a - b) % (1 << 256)
+    assert got[5] == (1 if a < b else 0) and got[6] == (1 if a == b else 0)
+
+
+def test_binary_trace_satisfies_air():
+    rng = random.Random(1)
+    acts = [
+        {"op": op, "a": rng.getrandbits(256), "b": rng.getrandbits(256)}
+        for op in ("ADD", "SUB", "LT", "EQ", "AND", "XOR")
+    ]
+    acts = acts[:3] + [{"op": "EQ", "a": 5, "b": 5}]  # 4 ops fill 2^9 exactly
+    trace = binary.execute(acts, N_BITS, BIN_SLICE)
+    _check("binary", lambda nb: binary.build_air(nb, BIN_SLICE), N_BITS, trace)
+
+
+def test_binary_bad_result_rejected():
+    acts = [{"op": "ADD", "a": 1, "b": 2}]
+    trace = binary.execute(acts, N_BITS, BIN_SLICE)
+    trace[0, 3] = 0  # claim 1+2 has low slice 0 (table says 3)
+    prover = _prover_for("binary", lambda nb: binary.build_air(nb, BIN_SLICE), N_BITS)
+    with pytest.raises(ValueError, match="plookup violation"):
+        prover.prove(trace)
+
+
+def test_memory_semantics_and_air():
+    acts = [
+        {"addr": 3, "step": 1, "wr": 1, "value": 0xAABB},
+        {"addr": 3, "step": 2, "wr": 0, "value": 0},
+        {"addr": 7, "step": 3, "wr": 0, "value": 0},      # fresh read = 0
+        {"addr": 3, "step": 4, "wr": 1, "value": 0xCC},
+        {"addr": 3, "step": 5, "wr": 0, "value": 0},
+    ]
+    trace, reads = memory.execute(acts, N_BITS)
+    assert reads == [0xAABB, 0, 0xCC]
+    _check("memory", memory.build_air, N_BITS, trace)
+
+
+def test_memory_tampered_read_rejected():
+    acts = [
+        {"addr": 1, "step": 1, "wr": 1, "value": 42},
+        {"addr": 1, "step": 2, "wr": 0, "value": 0},
+    ]
+    trace, _ = memory.execute(acts, N_BITS)
+    trace[1, 6] = 43  # read returns 43 instead of 42
+    prover = _prover_for("memory", memory.build_air, N_BITS)
+    assert prover.check_constraints(trace) != []
+
+
+def test_arith_mul_add_and_air():
+    rng = random.Random(2)
+    acts = [
+        {"x1": rng.getrandbits(256), "y1": rng.getrandbits(256),
+         "x2": rng.getrandbits(256)}
+        for _ in range(3)
+    ]
+    acts.append({"x1": M256, "y1": M256, "x2": M256})  # extremes
+    for a in acts:
+        y2, y3 = arith.result(a)
+        assert a["x1"] * a["y1"] + a["x2"] == (y2 << 256) + y3
+    trace = arith.execute(acts, N_BITS)
+    _check("arith", arith.build_air, N_BITS, trace)
+
+
+def test_arith_tampered_product_rejected():
+    acts = [{"x1": 3, "y1": 5, "x2": 1}]
+    trace = arith.execute(acts, N_BITS)
+    trace[:32, 3 * arith.L] += 1  # tamper y2 limb 0 across the group
+    prover = _prover_for("arith", arith.build_air, N_BITS)
+    assert prover.check_constraints(trace) != []
+
+
+def test_executor_end_to_end_proof():
+    # full prove/verify for memory + arith; binary's complete prove pipeline
+    # is covered by the engine e2e tests and its AIR/negative tests above
+    # (one full SM prove is ~90 s of XLA compile on a 1-core host)
+    actions = BatchActions(
+        memory=[
+            {"addr": 0, "step": 1, "wr": 1, "value": 7},
+            {"addr": 0, "step": 2, "wr": 0, "value": 0},
+        ],
+        arith=[{"x1": 12345, "y1": 67890, "x2": 999}],
+    )
+    ex = Executor(n_bits=N_BITS)
+    counters = ex.counters(actions)
+    assert counters["arith_capacity"] == (1 << N_BITS) // 32
+    assert ex.binary_slice_bits() == BIN_SLICE
+    # share the already-traced provers from the earlier tests (identical AIRs)
+    ex._provers = {
+        "memory": _prover_for("memory", memory.build_air, N_BITS),
+        "arith": _prover_for("arith", arith.build_air, N_BITS),
+    }
+    proofs = ex.prove_all(actions)
+    assert set(proofs) == {"memory", "arith"}
+    assert ex.verify_all(proofs)

@@ -1,0 +1,79 @@
+"""Prover orchestration: request queue, batch -> aggregated -> final pipeline.
+
+Mirrors the reference flow driven by the aggregator (SURVEY.md §3.2-3.4):
+genBatchProof for two chained batches, genAggregatedProof with publics
+chaining checks, genFinalProof Groth16 wrap, plus the processBatch fast path
+and queue semantics (submitRequest/waitForRequestToComplete).
+"""
+
+import dataclasses
+
+import pytest
+
+from zkevm_prover_tpu.executor import BatchActions
+from zkevm_prover_tpu.prover import ProofInput, Prover, ProverRequest, PublicInputs
+
+
+@pytest.fixture(scope="module")
+def prover():
+    return Prover(n_bits=9)
+
+
+def _input(old_root="0x" + "00" * 32, old_acc="0x" + "00" * 32, num=0):
+    pub = PublicInputs(old_state_root=old_root, old_acc_input_hash=old_acc,
+                       old_batch_num=num, batch_l2_data="0xdead")
+    actions = BatchActions(
+        memory=[{"addr": 1, "step": 1, "wr": 1, "value": 5},
+                {"addr": 1, "step": 2, "wr": 0, "value": 0}],
+    )
+    return ProofInput(publics=pub, actions=actions)
+
+
+def test_process_batch_fast_path(prover):
+    res = prover.process_batch(_input())
+    assert res["publics"].new_batch_num == 1
+    assert res["counters"]["memory"] == 2
+
+
+def test_input_json_roundtrip():
+    inp = _input()
+    again = ProofInput.from_json(inp.to_json())
+    assert again.publics == inp.publics
+    assert again.actions.memory == inp.actions.memory
+
+
+def test_full_pipeline_batch_agg_final(prover):
+    # batch 1
+    bp1 = prover.gen_batch_proof(_input())
+    assert prover.verify_batch_proof(bp1)
+    # batch 2 chains on batch 1
+    inp2 = _input(old_root=bp1.publics.new_state_root,
+                  old_acc=bp1.publics.new_acc_input_hash, num=1)
+    bp2 = prover.gen_batch_proof(inp2)
+    agg = prover.gen_aggregated_proof(bp1, bp2)
+    assert agg.publics.old_batch_num == 0 and agg.publics.new_batch_num == 2
+    assert prover.verify_aggregated_proof(agg)
+    final = prover.gen_final_proof(agg)
+    assert prover.verify_final_proof(final)
+    # tampered publics digest must fail
+    bad = dataclasses.replace(final, publics_digest=final.publics_digest + 1)
+    assert not prover.verify_final_proof(bad)
+
+
+def test_aggregation_rejects_broken_chain(prover):
+    bp1 = prover.gen_batch_proof(_input())
+    bp_wrong = prover.gen_batch_proof(_input(num=7))  # batch numbers skip
+    with pytest.raises(ValueError, match="chain"):
+        prover.gen_aggregated_proof(bp1, bp_wrong)
+
+
+def test_request_queue(prover):
+    req = ProverRequest("processBatch", _input())
+    uid = prover.submit_request(req)
+    res = prover.wait_for_request(uid, timeout=30)
+    assert res["publics"].new_batch_num == 1
+
+    bad = ProverRequest("nonsense", None)
+    prover.submit_request(bad)
+    with pytest.raises(RuntimeError, match="unknown request type"):
+        prover.wait_for_request(bad.uuid, timeout=30)

@@ -1,0 +1,112 @@
+"""gRPC services over real localhost sockets.
+
+Mirrors the reference's multi-node-without-a-cluster test (SURVEY.md §4.5:
+config_runFile_e2e runs the aggregator server AND client in one process):
+HashDB server/remote-client parity, Executor ProcessBatch, and the full
+aggregator channel driving batch -> batch -> aggregated -> final.
+"""
+
+import json
+import random
+
+import pytest
+
+from zkevm_prover_tpu.executor import BatchActions
+from zkevm_prover_tpu.hashdb import Database, HashDB, Smt
+from zkevm_prover_tpu.prover import ProofInput, Prover, PublicInputs
+from zkevm_prover_tpu.services import (
+    AggregatorClient, ExecutorClient, HashDBClient, MockAggregatorServer,
+    serve_executor, serve_hashdb,
+)
+
+ZERO = (0, 0, 0, 0)
+
+
+def test_hashdb_service_roundtrip():
+    server = serve_hashdb(58061)
+    try:
+        client = HashDBClient("127.0.0.1:58061")
+        rng = random.Random(0)
+        key = tuple(rng.getrandbits(63) for _ in range(4))
+        r = client.set("", 0, ZERO, key, 1234)
+        assert r.mode == "insertNotFound"
+        g = client.get("", r.new_root, key)
+        assert g.value == 1234
+        # remote result must equal a local Smt over the same semantics
+        local = Smt(Database()).set(ZERO, key, 1234)
+        assert local.new_root == r.new_root
+        # programs
+        pkey = (1, 2, 3, 4)
+        client.set_program("", pkey, b"\x60\x01")
+        assert client.get_program("", pkey) == b"\x60\x01"
+        st = client.get_flush_status()
+        assert "lastFlushId" in st
+    finally:
+        server.stop(0)
+
+
+def test_executor_service_process_batch(shared_prover):
+    server = serve_executor(58071, shared_prover)
+    try:
+        client = ExecutorClient("127.0.0.1:58071")
+        resp = client.process_batch(
+            old_batch_num=3,
+            actions={"memory": [
+                {"addr": 1, "step": 1, "wr": 1, "value": 9},
+                {"addr": 1, "step": 2, "wr": 0, "value": 0},
+            ]},
+        )
+        assert resp.error == 0
+        assert resp.new_batch_num == 4
+        assert resp.counters["memory"] == 2
+        # malformed root is rejected with error (reference input validation)
+        bad = client.process_batch(old_state_root="nothex")
+        assert bad.error == 1
+    finally:
+        server.stop(0)
+
+
+@pytest.fixture(scope="module")
+def shared_prover():
+    return Prover(n_bits=9)
+
+
+def _chain_inputs():
+    i1 = ProofInput(
+        publics=PublicInputs(batch_l2_data="0x01"),
+        actions=BatchActions(memory=[
+            {"addr": 1, "step": 1, "wr": 1, "value": 5},
+            {"addr": 1, "step": 2, "wr": 0, "value": 0},
+        ]),
+    )
+    # compute the chained publics of batch 2 the way the prover will
+    p = PublicInputs(batch_l2_data="0x01")
+    i2 = ProofInput(
+        publics=PublicInputs(
+            old_state_root=p.old_state_root,
+            old_acc_input_hash=p.acc_input_hash(),
+            old_batch_num=1,
+            batch_l2_data="0x02",
+        ),
+        actions=BatchActions(memory=[
+            {"addr": 2, "step": 1, "wr": 1, "value": 6},
+            {"addr": 2, "step": 2, "wr": 0, "value": 0},
+        ]),
+    )
+    return [i1, i2]
+
+
+def test_aggregator_channel_end_to_end(shared_prover):
+    server = MockAggregatorServer(58081, _chain_inputs())
+    client = AggregatorClient(shared_prover, f"127.0.0.1:{server.port}",
+                              watchdog_timeout_s=120.0).start()
+    try:
+        assert server.done.wait(timeout=600), "aggregator flow timed out"
+        assert server.error is None, server.error
+        assert server.result is not None
+        assert server.result["type"] == "FinalProof"
+        assert server.result["publics"]["new_batch_num"] == 2
+        assert "publicsDigest" in server.result
+    finally:
+        client.stop()
+        server.stop()

@@ -1,0 +1,110 @@
+"""Executor coordinator — run the co-processor SMs over an action batch.
+
+Reference: src/executor/executor.cpp:487-610 (serial) / 648-701 (one pthread
+per SM with dependency joins). Here each SM's trace generation is a pure
+function of the action batch, so they are dispatched independently; the
+device proves them with per-SM eSTARK instances via `prove_all`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..stark.prover import StarkProver
+from ..stark.setup import StarkSetup
+from ..stark.verifier import verify
+from .sm import arith, binary, memory
+
+
+@dataclasses.dataclass
+class BatchActions:
+    """The "required actions" a main-execution pass emits for co-processors
+    (reference: MainExecRequired vectors, main_executor.cpp)."""
+
+    binary: list = dataclasses.field(default_factory=list)
+    memory: list = dataclasses.field(default_factory=list)
+    arith: list = dataclasses.field(default_factory=list)
+
+
+_SM_MODULES = {"binary": binary, "memory": memory, "arith": arith}
+
+# per-SM trace degree — the reference fixes one N = 2^23 for all SMs; with
+# per-SM STARK instances each machine gets the smallest domain that fits its
+# lookup tables (binary's nibble-semantics table needs 2816 rows)
+DEFAULT_BITS = {"binary": 12, "memory": 9, "arith": 9}
+
+
+class Executor:
+    """Owns one AIR/setup/prover per SM (built lazily per domain size)."""
+
+    def __init__(self, n_bits: int | dict | None = None, n_queries: int = 8):
+        if n_bits is None:
+            self.n_bits = dict(DEFAULT_BITS)
+        elif isinstance(n_bits, int):
+            self.n_bits = {k: n_bits for k in DEFAULT_BITS}
+        else:
+            self.n_bits = {**DEFAULT_BITS, **n_bits}
+        self.n_queries = n_queries
+        self._provers: dict[str, StarkProver] = {}
+
+    def binary_slice_bits(self) -> int:
+        """Largest slice width whose semantics table fits the binary domain
+        (11·4^s rows): 4-bit nibbles from 2^12 up, 2-bit below."""
+        n = 1 << self.n_bits["binary"]
+        s = 1
+        while 11 * (4 ** (s + 1)) <= n and s < 4:
+            s += 1
+        return s
+
+    def _prover(self, name: str) -> StarkProver:
+        if name not in self._provers:
+            if name == "binary":
+                air = binary.build_air(self.n_bits[name], self.binary_slice_bits())
+            else:
+                air = _SM_MODULES[name].build_air(self.n_bits[name])
+            setup = StarkSetup(air, n_queries=self.n_queries, fri_fold_bits=2)
+            self._provers[name] = StarkProver(setup)
+        return self._provers[name]
+
+    def execute(self, actions: BatchActions) -> dict[str, np.ndarray]:
+        """Fill each SM's committed columns (reference: Executor::execute)."""
+        out = {}
+        if actions.binary:
+            out["binary"] = binary.execute(
+                actions.binary, self.n_bits["binary"], self.binary_slice_bits()
+            )
+        if actions.memory:
+            out["memory"], _ = memory.execute(actions.memory, self.n_bits["memory"])
+        if actions.arith:
+            out["arith"] = arith.execute(actions.arith, self.n_bits["arith"])
+        return out
+
+    def counters(self, actions: BatchActions) -> dict[str, int]:
+        """SM usage counters (reference: batch resource counters,
+        main.cpp:193-216) — drive upstream batch-capacity limits."""
+        return {
+            "binary": len(actions.binary),
+            "binary_capacity": (1 << self.n_bits["binary"])
+            // binary.rows_per_op(self.binary_slice_bits()),
+            "memory": len(actions.memory),
+            "memory_capacity": 1 << self.n_bits["memory"],
+            "arith": len(actions.arith),
+            "arith_capacity": (1 << self.n_bits["arith"]) // arith.GROUP,
+        }
+
+    def prove_all(self, actions: BatchActions) -> dict[str, object]:
+        """Prove every active SM; returns {name: (prover, proof)}."""
+        traces = self.execute(actions)
+        proofs = {}
+        for name, tr in traces.items():
+            prover = self._prover(name)
+            proofs[name] = (prover, prover.prove(tr))
+        return proofs
+
+    def verify_all(self, proofs: dict) -> bool:
+        for name, (prover, proof) in proofs.items():
+            if not verify(prover.setup, prover.verkey, proof):
+                return False
+        return True

@@ -11,6 +11,7 @@ per proof — negligible traffic), mirroring the reference's query phase.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -34,9 +35,11 @@ def merkelize_levels(source):
     return levels
 
 
-@jax.jit
-def _merkelize_levels_jit_src(source):
-    return merkelize_levels(source)
+@functools.lru_cache(maxsize=None)
+def _merkelize_jit(h: int, w: int):
+    """One jitted program for the whole tree per (H, W) shape — building
+    levels eagerly costs one XLA compile PER LEVEL on every new shape."""
+    return jax.jit(merkelize_levels)
 
 
 @dataclasses.dataclass
@@ -45,10 +48,12 @@ class MerkleTree:
 
     source: jax.Array          # (H, W) uint64
     levels: list               # [(H,4), (H/2,4), ..., (1,4)]
+    _host: dict = dataclasses.field(default_factory=dict, repr=False)
 
     @classmethod
     def commit(cls, source) -> "MerkleTree":
-        return cls(source=source, levels=merkelize_levels(source))
+        levels = _merkelize_jit(*source.shape)(source)
+        return cls(source=source, levels=levels)
 
     @property
     def height(self) -> int:
@@ -64,13 +69,22 @@ class MerkleTree:
     def proof_length(self) -> int:
         return len(self.levels) - 1
 
+    def _host_arrays(self):
+        """One device->host transfer per tree; per-query device slicing with
+        python ints would compile a fresh XLA gather per index value."""
+        if not self._host:
+            self._host["source"] = np.asarray(self.source)
+            self._host["levels"] = [np.asarray(l) for l in self.levels]
+        return self._host
+
     def get_group_proof(self, idx: int):
         """Row values + sibling path for leaf `idx` (host-side extraction)."""
-        row = np.asarray(self.source[idx])
+        h = self._host_arrays()
+        row = h["source"][idx]
         siblings = []
         i = idx
-        for lvl in self.levels[:-1]:
-            siblings.append(np.asarray(lvl[i ^ 1]))
+        for lvl in h["levels"][:-1]:
+            siblings.append(lvl[i ^ 1])
             i >>= 1
         return row, np.stack(siblings) if siblings else np.zeros((0, HASH_SIZE), np.uint64)
 

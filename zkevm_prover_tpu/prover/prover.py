@@ -1,0 +1,224 @@
+"""The Prover — request queue + proof pipeline orchestration.
+
+Reference: src/prover/prover.cpp — pending/current/completed request maps
+served by a proverThread (prover.cpp:182-260), genBatchProof (:392),
+genAggregatedProof with publics-chaining checks (:676, :700-740),
+genFinalProof SNARK wrap (:827), processBatch fast path (:351).
+
+Pipeline status in this framework:
+  genBatchProof       executor -> per-SM eSTARK proofs (TPU) + publics
+  genAggregatedProof  publics chaining checks + pairwise join — the binary
+                      aggregation-tree orchestration of the reference; the
+                      payload carries both children until the recursive
+                      verifier circuit lands (roadmap: SURVEY.md §7.2 step 8),
+                      so verification verifies every leaf STARK.
+  genFinalProof       Groth16 (BN254) attestation binding the aggregated
+                      publics digest — the rapidsnark stage shape; in-circuit
+                      STARK verification is the same roadmap item.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+import time
+import uuid as uuidlib
+
+from ..executor import Executor
+from ..ops import bn254, keccak
+from ..snark import R1CS, groth16_prove, groth16_setup, groth16_verify
+from ..stark.verifier import verify as stark_verify
+from ..utils import TimeMetricStorage, timer, zklog
+from .input import ProofInput, PublicInputs
+
+
+@dataclasses.dataclass
+class BatchProof:
+    publics: PublicInputs
+    sm_proofs: dict            # name -> (prover, StarkProof)
+    counters: dict
+
+
+@dataclasses.dataclass
+class AggregatedProof:
+    publics: PublicInputs
+    children: list             # [BatchProof | AggregatedProof]
+
+
+@dataclasses.dataclass
+class FinalProof:
+    publics: PublicInputs
+    groth16: dict              # pi_a/pi_b/pi_c
+    publics_digest: int
+
+
+@dataclasses.dataclass
+class ProverRequest:
+    type: str                  # genBatchProof / genAggregatedProof / genFinalProof / processBatch
+    payload: object
+    uuid: str = dataclasses.field(default_factory=lambda: str(uuidlib.uuid4()))
+    result: object = None
+    error: str | None = None
+    done: threading.Event = dataclasses.field(default_factory=threading.Event)
+
+
+class Prover:
+    def __init__(self, n_bits: int | dict | None = None):
+        self.executor = Executor(n_bits=n_bits)
+        self.metrics = TimeMetricStorage("prover")
+        self._pending: list[ProverRequest] = []
+        self._completed: dict[str, ProverRequest] = {}
+        self.current: ProverRequest | None = None
+        self._sem = threading.Semaphore(0)
+        self._lock = threading.Lock()
+        self._thread = threading.Thread(target=self._prover_thread, daemon=True)
+        self._thread.start()
+        self._final_setup = None
+
+    # -- request queue (reference: submitRequest/waitForRequestToComplete) ----
+
+    def submit_request(self, req: ProverRequest) -> str:
+        with self._lock:
+            self._pending.append(req)
+        self._sem.release()
+        return req.uuid
+
+    def wait_for_request(self, uuid: str, timeout: float | None = None):
+        with self._lock:
+            req = self._completed.get(uuid) or next(
+                (r for r in self._pending if r.uuid == uuid),
+                self.current if self.current and self.current.uuid == uuid else None,
+            )
+        assert req is not None, f"unknown request {uuid}"
+        req.done.wait(timeout)
+        if req.error:
+            raise RuntimeError(req.error)
+        return req.result
+
+    def _prover_thread(self):
+        while True:
+            self._sem.acquire()
+            with self._lock:
+                req = self._pending.pop(0)
+                self.current = req
+            try:
+                with timer(f"PROVER_{req.type.upper()}", self.metrics, log=False):
+                    req.result = self._dispatch(req)
+            except Exception as e:  # noqa: BLE001 — report to the requester
+                req.error = f"{type(e).__name__}: {e}"
+                zklog.error(f"request {req.uuid} failed: {req.error}")
+            finally:
+                with self._lock:
+                    self.current = None
+                    self._completed[req.uuid] = req
+                req.done.set()
+
+    def _dispatch(self, req: ProverRequest):
+        if req.type == "genBatchProof":
+            return self.gen_batch_proof(req.payload)
+        if req.type == "genAggregatedProof":
+            return self.gen_aggregated_proof(*req.payload)
+        if req.type == "genFinalProof":
+            return self.gen_final_proof(req.payload)
+        if req.type == "processBatch":
+            return self.process_batch(req.payload)
+        raise ValueError(f"unknown request type {req.type}")
+
+    # -- pipeline stages --------------------------------------------------------
+
+    def process_batch(self, inp: ProofInput) -> dict:
+        """Fast path: execute without proving (reference: Executor::
+        process_batch, no commit pols)."""
+        counters = self.executor.counters(inp.actions)
+        pub = dataclasses.replace(inp.publics)
+        pub.new_acc_input_hash = pub.acc_input_hash()
+        pub.new_batch_num = pub.old_batch_num + 1
+        return {"publics": pub, "counters": counters}
+
+    def gen_batch_proof(self, inp: ProofInput) -> BatchProof:
+        with timer("EXECUTOR_EXECUTE_BATCH_PROOF", self.metrics, log=False):
+            counters = self.executor.counters(inp.actions)
+        with timer("STARK_PROOF_BATCH_PROOF", self.metrics, log=False):
+            sm_proofs = self.executor.prove_all(inp.actions)
+        pub = dataclasses.replace(inp.publics)
+        pub.new_acc_input_hash = pub.acc_input_hash()
+        pub.new_batch_num = pub.old_batch_num + 1
+        if pub.new_state_root == "0x" + "00" * 32:
+            pub.new_state_root = pub.old_state_root
+        return BatchProof(publics=pub, sm_proofs=sm_proofs, counters=counters)
+
+    def gen_aggregated_proof(self, p1, p2) -> AggregatedProof:
+        """Join two proofs; mirrors the consistency checks of
+        Prover::genAggregatedProof (prover.cpp:700-740)."""
+        a, b = p1.publics, p2.publics
+        if a.new_state_root != b.old_state_root:
+            raise ValueError("aggregation: state roots do not chain")
+        if a.new_acc_input_hash != b.old_acc_input_hash:
+            raise ValueError("aggregation: acc input hashes do not chain")
+        if a.new_batch_num != b.old_batch_num:
+            raise ValueError("aggregation: batch numbers do not chain")
+        if a.chain_id != b.chain_id or a.fork_id != b.fork_id:
+            raise ValueError("aggregation: chain/fork mismatch")
+        pub = dataclasses.replace(a)
+        pub.new_state_root = b.new_state_root
+        pub.new_acc_input_hash = b.new_acc_input_hash
+        pub.new_batch_num = b.new_batch_num
+        pub.new_local_exit_root = b.new_local_exit_root
+        return AggregatedProof(publics=pub, children=[p1, p2])
+
+    # -- final SNARK wrap ---------------------------------------------------------
+
+    def publics_digest(self, pub: PublicInputs) -> int:
+        payload = (
+            bytes.fromhex(pub.old_state_root[2:])
+            + bytes.fromhex(pub.new_state_root[2:])
+            + bytes.fromhex(pub.old_acc_input_hash[2:])
+            + bytes.fromhex(pub.new_acc_input_hash[2:])
+            + pub.old_batch_num.to_bytes(8, "big")
+            + pub.new_batch_num.to_bytes(8, "big")
+            + pub.chain_id.to_bytes(8, "big")
+        )
+        return int.from_bytes(keccak.keccak256(payload), "big") % bn254.R
+
+    def _final_circuit(self):
+        """Digest-binding circuit: public = digest, witness = (s, inv) with
+        s·(s·inv - 1) = 0 ∧ s = digest (the final.circom role, minimal)."""
+        if self._final_setup is None:
+            b = R1CS.builder(n_public=1)
+            s = b.alloc()
+            inv = b.alloc()
+            t = b.mul(s, inv)        # t = s·inv
+            b.constrain({s: 1}, {t: 1}, {s: 1})   # s·t = s
+            b.constrain({s: 1}, {0: 1}, {1: 1})   # s == digest (public slot 1)
+            self._final_setup = groth16_setup(b.build())
+        return self._final_setup
+
+    def gen_final_proof(self, agg) -> FinalProof:
+        digest = self.publics_digest(agg.publics)
+        setup = self._final_circuit()
+        s = digest
+        inv = pow(s, bn254.R - 2, bn254.R) if s else 0
+        w = [1, digest, s, inv, s * inv % bn254.R]
+        with timer("RAPID_SNARK", self.metrics, log=False):
+            proof = groth16_prove(setup, w)
+        return FinalProof(publics=agg.publics, groth16=proof,
+                          publics_digest=digest)
+
+    # -- verification (the oracle path) --------------------------------------------
+
+    def verify_batch_proof(self, bp: BatchProof) -> bool:
+        return all(
+            stark_verify(prover.setup, prover.verkey, proof)
+            for prover, proof in bp.sm_proofs.values()
+        )
+
+    def verify_aggregated_proof(self, ap) -> bool:
+        if isinstance(ap, BatchProof):
+            return self.verify_batch_proof(ap)
+        return all(self.verify_aggregated_proof(c) for c in ap.children)
+
+    def verify_final_proof(self, fp: FinalProof) -> bool:
+        if fp.publics_digest != self.publics_digest(fp.publics):
+            return False
+        return groth16_verify(self._final_circuit(), [fp.publics_digest],
+                              fp.groth16)

@@ -316,6 +316,23 @@ class StarkProver:
 
         return jax.jit(run)
 
+    @functools.cached_property
+    def _check_fn(self):
+        """All constraints evaluated in ONE jitted program -> (nC,) maxima.
+        (One jit per constraint would dominate wall-clock at trace time.)"""
+        s = self.setup
+
+        def run(cm1_n, cm2_n, cm3_n, const_n, challenges, publics):
+            sections = {1: cm1_n, 2: cm2_n, 3: cm3_n}
+            x_n = nttmod.geometric_powers(gl.w(s.n_bits), s.n)
+            b = self._bindings(sections, const_n, challenges, publics,
+                               ext=False, x=x_n)
+            return jnp.stack(
+                [jnp.max(ex.eval_array(c, b)) for c in s.constraints]
+            )
+
+        return jax.jit(run)
+
     def check_constraints(self, cm1_values, publics=None) -> list[int]:
         """Diagnostic: run phases 1-3 and evaluate every constraint on the
         trace domain; returns indices of violated constraints (empty = ok).
@@ -346,16 +363,11 @@ class StarkProver:
         challenges[3] = transcript.get_field3()
         cm3_n = self._phase3_fn(cm1_n, cm2_n, self.const_n,
                                 jnp.asarray(challenges), publics_dev)
-        sections = {1: cm1_n, 2: cm2_n, 3: cm3_n}
-        x_n = nttmod.geometric_powers(gl.w(s.n_bits), s.n)
-        b = self._bindings(sections, self.const_n, jnp.asarray(challenges),
-                           publics_dev, ext=False, x=x_n)
-        bad = []
-        for i, c in enumerate(s.constraints):
-            v = ex.eval_array(c, b)
-            if int(jnp.max(v)) != 0:
-                bad.append(i)
-        return bad
+        maxima = np.asarray(
+            self._check_fn(cm1_n, cm2_n, cm3_n, self.const_n,
+                           jnp.asarray(challenges), publics_dev)
+        )
+        return [i for i, v in enumerate(maxima) if int(v) != 0]
 
     # -- main entry ------------------------------------------------------------
 
