@@ -44,6 +44,41 @@ def _tables(source: str):
     return jnp.asarray(C), jnp.asarray(M)
 
 
+@functools.lru_cache(maxsize=4)
+def _mds_shifts(source: str):
+    """If every MDS entry is a power of two, the exponent matrix (host);
+    else None — selects the shift-add fast path below."""
+    _, M = _tables_host(source)
+    exps = np.zeros_like(M, dtype=np.int64)
+    for i in range(WIDTH):
+        for j in range(WIDTH):
+            v = int(M[i, j])
+            if v == 0 or (v & (v - 1)) or v.bit_length() > 17:
+                return None
+            exps[i, j] = v.bit_length() - 1
+    return exps
+
+
+def _mds_pow2(s, exps):
+    """MDS multiply for power-of-two matrices: split each input lane into
+    u32 halves, accumulate shifted halves (max 12·2^48 < 2^53, no overflow),
+    recombine as a 128-bit value and reduce. ~12 shift-adds per output lane
+    instead of 12 full 64x64 field multiplies."""
+    lo = s & np.uint64(0xFFFFFFFF)
+    hi = s >> np.uint64(32)
+    acc_lo = jnp.zeros_like(s)
+    acc_hi = jnp.zeros_like(s)
+    for j in range(WIDTH):
+        sh = jnp.asarray(exps[:, j].astype(np.uint64))  # out-lane shifts
+        acc_lo = acc_lo + (lo[..., j, None] << sh)
+        acc_hi = acc_hi + (hi[..., j, None] << sh)
+    # total = acc_lo + acc_hi·2^32 with acc_lo, acc_hi < 2^53
+    lo64 = acc_lo + (acc_hi << np.uint64(32))
+    carry = (lo64 < acc_lo).astype(jnp.uint64)
+    hi64 = (acc_hi >> np.uint64(32)) + carry
+    return gl._reduce128(hi64, lo64)
+
+
 def _sbox(x):
     x3 = gl.mul(gl.square(x), x)
     return gl.mul(gl.mul(x3, x3), x)
@@ -71,10 +106,16 @@ def permute(state):
     """
     C, M = _tables(pc.source())
     half = pc.ROUNDS_F // 2
+    exps = _mds_shifts(pc.source())
 
-    def mds(s):
-        # MDS: out_i = sum_j M[i][j] * s_j  (broadcast over batch axes)
-        return _modsum_last(gl.mul(s[..., None, :], M))
+    if exps is not None:
+        def mds(s):
+            return _mds_pow2(s, exps)
+    else:
+        def mds(s):
+            # generic MDS: out_i = sum_j M[i][j] * s_j (e.g. loaded reference
+            # constants that are not powers of two)
+            return _modsum_last(gl.mul(s[..., None, :], M))
 
     def full_round(r, s):
         return mds(_sbox(gl.add(s, C[r])))
