@@ -37,9 +37,14 @@ class StarkProof:
     # metadata for self-description
     n_queries: int
     fri_steps: list
+    hash_type: str = "GL"
 
     def to_json(self) -> str:
         def arr(a):
+            if isinstance(a, (list, tuple)) and a and isinstance(a[0], (list, tuple)):
+                return [[str(int(x)) for x in row] for row in a]
+            if isinstance(a, int):
+                return [str(a)]
             return [str(int(v)) for v in np.ravel(np.asarray(a))]
 
         obj = {
@@ -52,6 +57,7 @@ class StarkProof:
             "publics": [str(int(p)) for p in self.publics],
             "nQueries": self.n_queries,
             "steps": list(self.fri_steps),
+            "hashType": self.hash_type,
             "fri": [],
         }
         for si, layer in enumerate(self.fri):
@@ -71,15 +77,25 @@ class StarkProof:
     @classmethod
     def from_json(cls, s: str) -> "StarkProof":
         obj = json.loads(s)
+        hash_type = obj.get("hashType", "GL")
+        bn = hash_type == "BN128"
 
         def arr(a, shape=None):
             x = np.array([int(v) for v in a], dtype=np.uint64)
             return x.reshape(shape) if shape else x
 
+        def root_of(a):
+            return int(a[0]) if bn else arr(a)
+
+        def sib_of(a):
+            if bn:  # list of per-level sibling lists (big Fr ints)
+                return [[int(x) for x in row] for row in a]
+            return arr(a).reshape(-1, 4)
+
         steps = obj["steps"]
         fri = []
         for si, lobj in enumerate(obj["fri"]):
-            root = arr(lobj[f"s{si}_root"]) if f"s{si}_root" in lobj else None
+            root = root_of(lobj[f"s{si}_root"]) if f"s{si}_root" in lobj else None
             queries = []
             if si == 0:
                 n_trees = len([k for k in lobj if k.startswith("s0_vals")])
@@ -87,16 +103,15 @@ class StarkProof:
                 for qi in range(nq):
                     row = []
                     for t in range(n_trees):
-                        sib = arr(lobj[f"s0_siblings{t + 1}"][qi])
                         row.append(MerkleQuery(arr(lobj[f"s0_vals{t + 1}"][qi]),
-                                               sib.reshape(-1, 4)))
+                                               sib_of(lobj[f"s0_siblings{t + 1}"][qi])))
                     queries.append(row)
             else:
                 for v, sb in zip(lobj[f"s{si}_vals"], lobj[f"s{si}_siblings"]):
-                    queries.append(MerkleQuery(arr(v), arr(sb).reshape(-1, 4)))
+                    queries.append(MerkleQuery(arr(v), sib_of(sb)))
             fri.append(LayerQueries(root, queries))
         return cls(
-            roots=[arr(obj[f"root{i}"]) for i in range(1, 5)],
+            roots=[root_of(obj[f"root{i}"]) for i in range(1, 5)],
             evals=[tuple(int(x) for x in e) for e in obj["evals"]],
             fri=fri,
             final_pol=np.array([[int(x) for x in row] for row in obj["finalPol"]],
@@ -104,4 +119,5 @@ class StarkProof:
             publics=[int(p) for p in obj["publics"]],
             n_queries=obj["nQueries"],
             fri_steps=steps,
+            hash_type=hash_type,
         )

@@ -41,6 +41,7 @@ from ..ops import ntt as nttmod
 from ..ops import transcript as tr
 from . import expr as ex
 from . import fri as frimod
+from . import scheme as schememod
 from .proof import LayerQueries, MerkleQuery, StarkProof
 from .setup import StarkSetup
 
@@ -118,6 +119,7 @@ class StarkProver:
 
     def __init__(self, setup: StarkSetup):
         self.setup = setup
+        self.scheme = schememod.get(getattr(setup, "hash_type", "GL"))
         s = setup
         self.blowup = 1 << (s.n_bits_ext - s.n_bits)
 
@@ -133,7 +135,7 @@ class StarkProver:
             )(self.const_n)
         else:
             self.const_2ns = jnp.zeros((s.n_ext, 0), dtype=jnp.uint64)
-        self.const_tree = merkle.MerkleTree.commit(self.const_2ns)
+        self.const_tree = self.scheme.commit(self.const_2ns)
         self.verkey = self.const_tree.root()
 
         # x and 1/Z_H on the extended coset (reference: x_2ns, ZhInv).
@@ -344,21 +346,21 @@ class StarkProver:
             publics = [int(cm1_values[row, cid]) for (_, cid, row) in s.air.publics]
         publics_dev = jnp.asarray(np.array(publics, dtype=np.uint64))
 
-        transcript = tr.Transcript()
-        transcript.put([int(v) for v in self.verkey])
+        transcript = self.scheme.Transcript()
+        transcript.put(self.scheme.root_ints(self.verkey))
         transcript.put(publics)
         challenges = np.zeros((8, 3), dtype=np.uint64)
         cm1_2ns = self._extend(cm1_n)
-        tree1 = merkle.MerkleTree.commit(cm1_2ns)
-        transcript.put([int(v) for v in tree1.root()])
+        tree1 = self.scheme.commit(cm1_2ns)
+        transcript.put(self.scheme.root_ints(tree1.root()))
         challenges[0] = transcript.get_field3()
         challenges[1] = transcript.get_field3()
         cm2_n, ok = self._phase2_fn(cm1_n, self.const_n, jnp.asarray(challenges),
                                     publics_dev)
         cm2_2ns = self._extend(cm2_n) if s.section_width[2] else jnp.zeros(
             (s.n_ext, 0), jnp.uint64)
-        tree2 = merkle.MerkleTree.commit(cm2_2ns)
-        transcript.put([int(v) for v in tree2.root()])
+        tree2 = self.scheme.commit(cm2_2ns)
+        transcript.put(self.scheme.root_ints(tree2.root()))
         challenges[2] = transcript.get_field3()
         challenges[3] = transcript.get_field3()
         cm3_n = self._phase3_fn(cm1_n, cm2_n, self.const_n,
@@ -383,16 +385,16 @@ class StarkProver:
             ]
         publics_dev = jnp.asarray(np.array(publics, dtype=np.uint64))
 
-        transcript = tr.Transcript()
-        transcript.put([int(v) for v in self.verkey])
+        transcript = self.scheme.Transcript()
+        transcript.put(self.scheme.root_ints(self.verkey))
         transcript.put(publics)
 
         challenges = np.zeros((8, 3), dtype=np.uint64)
 
         # ---- phase 1
         cm1_2ns = self._extend(cm1_n)
-        tree1 = merkle.MerkleTree.commit(cm1_2ns)
-        transcript.put([int(v) for v in tree1.root()])
+        tree1 = self.scheme.commit(cm1_2ns)
+        transcript.put(self.scheme.root_ints(tree1.root()))
 
         # ---- phase 2
         challenges[0] = transcript.get_field3()
@@ -404,8 +406,8 @@ class StarkProver:
         cm2_2ns = self._extend(cm2_n) if s.section_width[2] else jnp.zeros(
             (s.n_ext, 0), jnp.uint64
         )
-        tree2 = merkle.MerkleTree.commit(cm2_2ns)
-        transcript.put([int(v) for v in tree2.root()])
+        tree2 = self.scheme.commit(cm2_2ns)
+        transcript.put(self.scheme.root_ints(tree2.root()))
 
         # ---- phase 3
         challenges[2] = transcript.get_field3()
@@ -415,16 +417,16 @@ class StarkProver:
         cm3_2ns = self._extend(cm3_n) if s.section_width[3] else jnp.zeros(
             (s.n_ext, 0), jnp.uint64
         )
-        tree3 = merkle.MerkleTree.commit(cm3_2ns)
-        transcript.put([int(v) for v in tree3.root()])
+        tree3 = self.scheme.commit(cm3_2ns)
+        transcript.put(self.scheme.root_ints(tree3.root()))
 
         # ---- phase 4
         challenges[4] = transcript.get_field3()
         ch = jnp.asarray(challenges)
         cm4_2ns = self._phase4_fn(cm1_2ns, cm2_2ns, cm3_2ns, self.const_2ns,
                                   ch, publics_dev)
-        tree4 = merkle.MerkleTree.commit(cm4_2ns)
-        transcript.put([int(v) for v in tree4.root()])
+        tree4 = self.scheme.commit(cm4_2ns)
+        transcript.put(self.scheme.root_ints(tree4.root()))
 
         # ---- phase 5
         challenges[7] = transcript.get_field3()
@@ -459,10 +461,10 @@ class StarkProver:
                 layers.append(folded)
             if si < len(steps) - 1:
                 src = frimod.group_for_tree(layers[si], steps[si + 1])
-                t = merkle.MerkleTree.commit(src)
+                t = self.scheme.commit(src)
                 layer_trees.append(t)
                 layer_roots.append(t.root())
-                transcript.put([int(v) for v in t.root()])
+                transcript.put(self.scheme.root_ints(t.root()))
             else:
                 final_np = np.asarray(layers[si])
                 for row in final_np:
@@ -487,16 +489,19 @@ class StarkProver:
             for y in cur:
                 vals, sib = layer_trees[si].get_group_proof(int(y))
                 qs.append(MerkleQuery(vals, sib))
-            fri_layers.append(LayerQueries(np.asarray(layer_roots[si]), qs))
+            fri_layers.append(
+                LayerQueries(self.scheme.store_root(layer_roots[si]), qs))
 
         return StarkProof(
-            roots=[np.asarray(t.root()) for t in (tree1, tree2, tree3, tree4)],
+            roots=[self.scheme.store_root(t.root())
+                   for t in (tree1, tree2, tree3, tree4)],
             evals=[tuple(int(v) for v in e) for e in evals_np],
             fri=fri_layers,
             final_pol=np.asarray(layers[-1]),
             publics=list(publics),
             n_queries=s.n_queries,
             fri_steps=list(steps),
+            hash_type=self.scheme.name,
         )
 
     @functools.lru_cache(maxsize=None)

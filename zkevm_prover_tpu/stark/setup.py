@@ -84,7 +84,9 @@ class StarkSetup:
 
     def __init__(self, airdef: AIR, *, blowup_bits: int | None = None,
                  n_queries: int = 32, fri_fold_bits: int = 4,
-                 fri_last_bits: int | None = None):
+                 fri_last_bits: int | None = None, hash_type: str = "GL"):
+        assert hash_type in ("GL", "BN128")
+        self.hash_type = hash_type
         self.air = airdef
         self.n_bits = airdef.n_bits
         self.n = airdef.n
@@ -245,7 +247,7 @@ class StarkSetup:
                 "nBits": self.n_bits,
                 "nBitsExt": self.n_bits_ext,
                 "nQueries": self.n_queries,
-                "verificationHashType": "GL",
+                "verificationHashType": self.hash_type,
                 "steps": [{"nBits": b} for b in self.fri_steps],
             },
             "nConstants": self.air.n_constants,

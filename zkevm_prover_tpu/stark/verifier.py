@@ -21,10 +21,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import goldilocks as gl
+from ..ops import merkle_bn128
 from ..ops import poseidon_gl as pos
 from ..ops import refmodel as rm
 from ..ops import transcript as tr
 from . import expr as ex
+from . import scheme as schememod
 from .proof import StarkProof
 from .setup import StarkSetup
 
@@ -61,8 +63,17 @@ def _roots_from_paths(rows, siblings, idx):
     return node
 
 
-def _verify_tree_queries(root, queries, idxs, what: str):
+def _verify_tree_queries(root, queries, idxs, what: str, hash_type: str = "GL"):
     if len(queries) == 0:
+        return
+    if hash_type == "BN128":
+        root_int = int(root) if isinstance(root, int) else int(np.ravel(root)[0])
+        for q, i in zip(queries, idxs):
+            _check(
+                merkle_bn128.verify_group_proof(root_int, int(i), q.values,
+                                                q.siblings),
+                f"merkle root mismatch: {what}",
+            )
         return
     rows = jnp.asarray(np.stack([np.asarray(q.values) for q in queries]))
     sibs = jnp.asarray(np.stack([np.asarray(q.siblings) for q in queries]))
@@ -81,23 +92,25 @@ def verify(setup: StarkSetup, verkey, proof: StarkProof) -> bool:
     s = setup
     n, n_ext = s.n, s.n_ext
     steps = s.fri_steps
+    sch = schememod.get(getattr(s, "hash_type", "GL"))
+    _check(proof.hash_type == sch.name, "hash type mismatch")
     _check(list(proof.fri_steps) == list(steps), "fri step schedule mismatch")
     _check(len(proof.evals) == len(s.ev_map), "evals length mismatch")
 
     # ---- 1. transcript replay --------------------------------------------
-    t = tr.Transcript()
-    t.put([int(v) for v in verkey])
+    t = sch.Transcript()
+    t.put(sch.root_ints(verkey))
     t.put(proof.publics)
     challenges = [None] * 8
-    t.put([int(v) for v in proof.roots[0]])
+    t.put(sch.root_ints(proof.roots[0]))
     challenges[0] = t.get_field3()
     challenges[1] = t.get_field3()
-    t.put([int(v) for v in proof.roots[1]])
+    t.put(sch.root_ints(proof.roots[1]))
     challenges[2] = t.get_field3()
     challenges[3] = t.get_field3()
-    t.put([int(v) for v in proof.roots[2]])
+    t.put(sch.root_ints(proof.roots[2]))
     challenges[4] = t.get_field3()
-    t.put([int(v) for v in proof.roots[3]])
+    t.put(sch.root_ints(proof.roots[3]))
     challenges[7] = t.get_field3()
     for e in proof.evals:
         t.put(list(e))
@@ -107,7 +120,7 @@ def verify(setup: StarkSetup, verkey, proof: StarkProof) -> bool:
     for si in range(len(steps)):
         special_xs.append(t.get_field3())
         if si < len(steps) - 1:
-            t.put([int(v) for v in np.asarray(proof.fri[si + 1].root)])
+            t.put(sch.root_ints(proof.fri[si + 1].root))
         else:
             for row in np.asarray(proof.final_pol):
                 t.put([int(v) for v in row])
@@ -144,15 +157,15 @@ def verify(setup: StarkSetup, verkey, proof: StarkProof) -> bool:
     for ti in range(4):
         _verify_tree_queries(
             proof.roots[ti], [q[ti] for q in proof.fri[0].queries], ys,
-            f"cm{ti + 1} tree",
+            f"cm{ti + 1} tree", sch.name,
         )
     _verify_tree_queries(verkey, [q[4] for q in proof.fri[0].queries], ys,
-                         "const tree")
+                         "const tree", sch.name)
     cur = list(ys)
     for si in range(1, len(steps)):
         cur = [y % (1 << steps[si]) for y in cur]
         _verify_tree_queries(proof.fri[si].root, proof.fri[si].queries, cur,
-                             f"fri layer {si} tree")
+                             f"fri layer {si} tree", sch.name)
 
     # ---- 4. FRI chain per query ---------------------------------------------
     w_ext = gl.w(steps[0])
