@@ -1,15 +1,18 @@
-"""Headline benchmark: Goldilocks low-degree extension (the hot op of the
-STARK prover, reference NTT_Goldilocks::extendPol at src/starkpil/starks.cpp:53)
-on one TPU chip: INTT 2^23 + coset scale + NTT 2^24 over 4 columns.
+"""Headline benchmark: the STARK commit phase on one TPU chip.
+
+Measures exactly the reference's STARK_STEP_1 hot path (Starks::genProof
+phase 1, src/starkpil/starks.cpp:53-60): low-degree extension of the
+committed trace (INTT 2^22 + coset NTT 2^23, 8 columns) followed by the
+Poseidon Merkle tree over the extended rows (linear hash + reduction to the
+root — the Pallas VMEM kernel on TPU).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-vs_baseline: the reference publishes no numbers (BASELINE.md); we normalize
-against a documented nominal for its AVX-512 NTT path — 100 Melem/s per
-socket for a 2^24-point Goldilocks NTT pass-equivalent (conservative estimate
-for a 32-core AVX-512 Xeon; the reference's own measurement mechanism is only
-phase timers, src/utils/timer.hpp:17-27). value/unit are measured, the
-normalization constant is fixed across rounds so the trend is comparable.
+value = extended-domain rows committed per second (N_ext / wall).
+vs_baseline: the reference publishes no numbers (BASELINE.md); the
+normalization constant is a documented nominal for its AVX-512 pipeline —
+2^23 rows of LDE+merkelize in 4 s on a 32-core Xeon (≈ 2.1 Mrow/s) — fixed
+across rounds so the trend is comparable.
 """
 
 import json
@@ -18,47 +21,43 @@ import time
 
 import numpy as np
 
-REFERENCE_NOMINAL_MELEM_S = 100.0  # documented normalization constant
+REFERENCE_NOMINAL_MROW_S = 2.1  # documented normalization constant
+
+N_BITS = 22
+N_BITS_EXT = 23
+N_COLS = 8
 
 
 def main() -> None:
     import jax
+    import jax.numpy as jnp
 
     from zkevm_prover_tpu.ops import goldilocks as gl
-    from zkevm_prover_tpu.ops import ntt as nttmod
+    from zkevm_prover_tpu.parallel import pipeline
 
-    n_bits, n_bits_ext, n_cols = 23, 24, 4
     rng = np.random.default_rng(0)
     x = jax.device_put(
-        rng.integers(0, gl.P, size=(1 << n_bits, n_cols), dtype=np.uint64)
+        rng.integers(0, gl.P, size=(1 << N_BITS, N_COLS), dtype=np.uint64)
     )
 
-    # return an 8-byte checksum and fetch it to host each iteration: on remote
-    # backends (axon tunnel) block_until_ready alone does not guarantee the
-    # computation ran — a device_get of a value that depends on every output
-    # element does.
-    def run(v):
-        ext = nttmod.extend_pol(v, n_bits, n_bits_ext)
-        return gl.modsum(gl.modsum(ext, 0), 0)
-
-    fn = jax.jit(run)
-    int(jax.device_get(fn(x)))  # compile + warm
+    fn = jax.jit(lambda v: pipeline.commit_step(v, N_BITS, N_BITS_EXT))
+    # device_get of the root forces completion on remote (axon) backends,
+    # where block_until_ready alone does not guarantee execution
+    jax.device_get(fn(x))  # compile + warm
 
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        int(jax.device_get(fn(x)))
+        jax.device_get(fn(x))
         times.append(time.perf_counter() - t0)
     best = min(times)
 
-    # work: one INTT at 2^23 + one NTT at 2^24, n_cols columns
-    elems = ((1 << n_bits) + (1 << n_bits_ext)) * n_cols
-    melem_s = elems / best / 1e6
+    mrow_s = (1 << N_BITS_EXT) / best / 1e6
     print(json.dumps({
-        "metric": "lde_extend_2e23_to_2e24_4col",
-        "value": round(melem_s, 3),
-        "unit": "Melem/s",
-        "vs_baseline": round(melem_s / REFERENCE_NOMINAL_MELEM_S, 3),
+        "metric": "stark_commit_lde_merkle_2e23x8",
+        "value": round(mrow_s, 3),
+        "unit": "Mrow/s",
+        "vs_baseline": round(mrow_s / REFERENCE_NOMINAL_MROW_S, 3),
     }))
 
 

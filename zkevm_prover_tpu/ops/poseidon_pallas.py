@@ -66,25 +66,57 @@ def _mds_rows(lo, hi, exps):
     return out_lo, out_hi
 
 
-def _make_kernel(exps: np.ndarray, clo: np.ndarray, chi: np.ndarray,
-                 half: int, rp: int, n_rounds: int):
-    """Fully unrolled 30-round kernel, state as 12 row vectors, constants as
-    SCALAR immediates per (round, lane): dynamic indexing trips Mosaic
-    lowering (int64 induction vars), and captured array constants are
-    rejected by pallas_call — scalars are neither."""
+ROUND_PAD = 32  # constants table lanes (30 rounds, padded)
 
-    def kernel(lo_ref, hi_ref, olo_ref, ohi_ref):
-        lo = [lo_ref[j, :] for j in range(WIDTH)]
-        hi = [hi_ref[j, :] for j in range(WIDTH)]
-        for r in range(n_rounds):
-            for j in range(WIDTH):
-                lo[j], hi[j] = g32.add_gl(lo[j], hi[j],
-                                          np.uint32(clo[j, r]),
-                                          np.uint32(chi[j, r]))
-            sbox_rows = (0,) if half <= r < half + rp else range(WIDTH)
-            for j in sbox_rows:
-                lo[j], hi[j] = _sbox7(lo[j], hi[j])
-            lo, hi = _mds_rows(lo, hi, exps)
+
+def _make_kernel(exps: np.ndarray, half: int, rp: int, n_rounds: int):
+    """Round loops are lax.fori_loop with the round's constants selected by
+    a one-hot vector that is ROLLED each iteration — the induction variable
+    never touches data (dynamic indexing trips Mosaic's int64 lowering, a
+    fully unrolled body compiles for minutes, and captured array constants
+    are rejected by pallas_call).
+
+    State is 12 row-vector limb pairs; constants arrive as (12, 32) u32
+    inputs; the one-hot select is a 32-lane masked reduction per round."""
+
+    def kernel(lo_ref, hi_ref, clo_ref, chi_ref, olo_ref, ohi_ref):
+        lo0 = [lo_ref[j, :] for j in range(WIDTH)]
+        hi0 = [hi_ref[j, :] for j in range(WIDTH)]
+        # Mosaic has no unsigned reductions: select in i32 bit-space
+        CLO = pltpu.bitcast(clo_ref[:], jnp.int32)   # (12, 32)
+        CHI = pltpu.bitcast(chi_ref[:], jnp.int32)
+
+        def one_hot(col: int):
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, ROUND_PAD), 1)
+            return jnp.where(lane == col, np.int32(1), np.int32(0))
+
+        def body(partial: bool):
+            def run(_r, carry):
+                oh, lo, hi = carry
+                cl = pltpu.bitcast(
+                    jnp.sum(CLO * oh, axis=1, keepdims=True,
+                            dtype=jnp.int32), jnp.uint32)
+                ch = pltpu.bitcast(
+                    jnp.sum(CHI * oh, axis=1, keepdims=True,
+                            dtype=jnp.int32), jnp.uint32)
+                lo = list(lo)
+                hi = list(hi)
+                for j in range(WIDTH):
+                    lo[j], hi[j] = g32.add_gl(lo[j], hi[j], cl[j], ch[j])
+                rows = (0,) if partial else range(WIDTH)
+                for j in rows:
+                    lo[j], hi[j] = _sbox7(lo[j], hi[j])
+                lo, hi = _mds_rows(lo, hi, exps)
+                return pltpu.roll(oh, np.int32(1), axis=1), tuple(lo), tuple(hi)
+
+            return run
+
+        oh, lo, hi = jax.lax.fori_loop(
+            0, half, body(False), (one_hot(0), tuple(lo0), tuple(hi0)))
+        oh, lo, hi = jax.lax.fori_loop(half, half + rp, body(True),
+                                       (oh, lo, hi))
+        _, lo, hi = jax.lax.fori_loop(half + rp, n_rounds, body(False),
+                                      (oh, lo, hi))
         for j in range(WIDTH):
             olo_ref[j, :] = lo[j]
             ohi_ref[j, :] = hi[j]
@@ -98,15 +130,19 @@ def _permute_call(source: str, interpret: bool):
     if exps is None:
         return None  # generic MDS: no pallas path
     C, _ = pgl._tables_host(source)
-    clo = (C & 0xFFFFFFFF).astype(np.uint32).T.copy()  # (12, N_ROUNDS)
-    chi = (C >> 32).astype(np.uint32).T.copy()
-    kernel = _make_kernel(np.asarray(exps), clo, chi, pc.ROUNDS_F // 2,
+    cpad = np.zeros((WIDTH, ROUND_PAD), dtype=np.uint64)
+    cpad[:, : pc.N_ROUNDS] = C.T
+    clo = (cpad & 0xFFFFFFFF).astype(np.uint32)
+    chi = (cpad >> 32).astype(np.uint32)
+    kernel = _make_kernel(np.asarray(exps), pc.ROUNDS_F // 2,
                           pc.ROUNDS_P, pc.N_ROUNDS)
 
     def run(lo, hi):  # (12, B) u32 each, B % TB == 0
         b = lo.shape[1]
         grid = (b // TB,)
         specs = pl.BlockSpec((WIDTH, TB), lambda i: (i * 0, i),
+                             memory_space=pltpu.VMEM)
+        cspec = pl.BlockSpec((WIDTH, ROUND_PAD), lambda i: (i * 0, i * 0),
                              memory_space=pltpu.VMEM)
         out_shape = (
             jax.ShapeDtypeStruct((WIDTH, b), jnp.uint32),
@@ -115,7 +151,7 @@ def _permute_call(source: str, interpret: bool):
         return pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[specs, specs],
+            in_specs=[specs, specs, cspec, cspec],
             out_specs=(
                 pl.BlockSpec((WIDTH, TB), lambda i: (i * 0, i),
                              memory_space=pltpu.VMEM),
@@ -124,7 +160,7 @@ def _permute_call(source: str, interpret: bool):
             ),
             out_shape=out_shape,
             interpret=interpret,
-        )(lo, hi)
+        )(lo, hi, jnp.asarray(clo), jnp.asarray(chi))
 
     return run
 
