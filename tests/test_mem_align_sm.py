@@ -1,0 +1,88 @@
+"""MemAlign SM: unaligned 256-bit reads proven by the index-byte binding.
+
+Reference shape: test/sm/mem_align_test.cpp (SURVEY.md §4.2)."""
+
+import random
+
+from zkevm_prover_tpu.executor.sm import mem_align
+from zkevm_prover_tpu.stark.prover import StarkProver
+from zkevm_prover_tpu.stark.setup import StarkSetup
+from zkevm_prover_tpu.stark.verifier import verify
+
+N_BITS = 9  # 4 operations
+
+_cache = {}
+
+
+def _prover():
+    if "p" not in _cache:
+        _cache["p"] = StarkProver(
+            StarkSetup(mem_align.build_air(N_BITS), n_queries=8,
+                       fri_fold_bits=2)
+        )
+    return _cache["p"]
+
+
+def test_read_semantics():
+    rng = random.Random(0)
+    w0, w1 = rng.getrandbits(256), rng.getrandbits(256)
+    for off in (0, 1, 7, 31, 32):
+        act = {"w0": w0, "w1": w1, "offset": off}
+        v = mem_align.result(act)
+        window = w0 | (w1 << 256)
+        assert v == (window >> (8 * off)) & ((1 << 256) - 1)
+    assert mem_align.result({"w0": w0, "w1": w1, "offset": 0}) == w0
+    assert mem_align.result({"w0": w0, "w1": w1, "offset": 32}) == w1
+
+
+def test_air_accepts_honest_trace():
+    rng = random.Random(1)
+    acts = [
+        {"w0": rng.getrandbits(256), "w1": rng.getrandbits(256),
+         "offset": o}
+        for o in (0, 5, 17, 32)
+    ]
+    tr, results = mem_align.execute(acts, N_BITS)
+    for a, r in zip(acts, results):
+        assert r == mem_align.result(a)
+    # finals live at the last group row
+    for i, a in enumerate(acts):
+        row = tr[i * 128 + 127]
+        v = sum(int(row[2 + 16 + j]) << (32 * j) for j in range(8))
+        assert v == results[i]
+        w0 = sum(int(row[2 + j]) << (32 * j) for j in range(8))
+        assert w0 == a["w0"]
+    bad = _prover().check_constraints(tr)
+    assert bad == [], f"violated: {bad}"
+
+
+def test_air_rejects_wrong_byte():
+    acts = [{"w0": 0x11223344, "w1": 0, "offset": 1}]
+    tr, _ = mem_align.execute(acts, N_BITS)
+    tr[64, 0] = (int(tr[64, 0]) + 1) % 256  # value byte 0 lies
+    prover = _prover()
+    import pytest
+
+    with pytest.raises(ValueError, match="plookup violation"):
+        prover.prove(tr)
+
+
+def test_air_rejects_wrong_offset_claim():
+    acts = [{"w0": 0xAABBCCDD, "w1": 0, "offset": 2}]
+    tr, _ = mem_align.execute(acts, N_BITS)
+    tr[:128, 1] = 3  # claim offset 3 while value bytes were taken at 2
+    prover = _prover()
+    import pytest
+
+    with pytest.raises(ValueError, match="plookup violation"):
+        prover.prove(tr)
+
+
+def test_prove_verify_roundtrip():
+    rng = random.Random(2)
+    acts = [{"w0": rng.getrandbits(256), "w1": rng.getrandbits(256),
+             "offset": 13}]
+    tr, _ = mem_align.execute(acts, N_BITS)
+    p = _prover()
+    proof = p.prove(tr)
+    assert verify(p.setup, p.verkey, proof)

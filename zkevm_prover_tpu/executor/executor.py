@@ -15,7 +15,7 @@ import numpy as np
 from ..stark.prover import StarkProver
 from ..stark.setup import StarkSetup
 from ..stark.verifier import verify
-from .sm import arith, binary, memory
+from .sm import arith, binary, mem_align, memory
 
 
 @dataclasses.dataclass
@@ -26,14 +26,20 @@ class BatchActions:
     binary: list = dataclasses.field(default_factory=list)
     memory: list = dataclasses.field(default_factory=list)
     arith: list = dataclasses.field(default_factory=list)
+    mem_align: list = dataclasses.field(default_factory=list)
+    poseidon_g: list = dataclasses.field(default_factory=list)
 
 
-_SM_MODULES = {"binary": binary, "memory": memory, "arith": arith}
+from .sm import poseidon_g  # noqa: E402
+
+_SM_MODULES = {"binary": binary, "memory": memory, "arith": arith,
+               "mem_align": mem_align, "poseidon_g": poseidon_g}
 
 # per-SM trace degree — the reference fixes one N = 2^23 for all SMs; with
 # per-SM STARK instances each machine gets the smallest domain that fits its
 # lookup tables (binary's nibble-semantics table needs 2816 rows)
-DEFAULT_BITS = {"binary": 12, "memory": 9, "arith": 9}
+DEFAULT_BITS = {"binary": 12, "memory": 9, "arith": 9, "mem_align": 9,
+                "poseidon_g": 9}
 
 
 class Executor:
@@ -79,6 +85,12 @@ class Executor:
             out["memory"], _ = memory.execute(actions.memory, self.n_bits["memory"])
         if actions.arith:
             out["arith"] = arith.execute(actions.arith, self.n_bits["arith"])
+        if actions.mem_align:
+            out["mem_align"], _ = mem_align.execute(
+                actions.mem_align, self.n_bits["mem_align"])
+        if actions.poseidon_g:
+            out["poseidon_g"] = poseidon_g.execute(
+                actions.poseidon_g, self.n_bits["poseidon_g"])
         return out
 
     def counters(self, actions: BatchActions) -> dict[str, int]:
@@ -92,6 +104,12 @@ class Executor:
             "memory_capacity": 1 << self.n_bits["memory"],
             "arith": len(actions.arith),
             "arith_capacity": (1 << self.n_bits["arith"]) // arith.GROUP,
+            "mem_align": len(actions.mem_align),
+            "mem_align_capacity": (1 << self.n_bits["mem_align"])
+            // mem_align.GROUP,
+            "poseidon_g": len(actions.poseidon_g),
+            "poseidon_g_capacity": (1 << self.n_bits["poseidon_g"])
+            // poseidon_g.GROUP,
         }
 
     def prove_all(self, actions: BatchActions) -> dict[str, object]:
