@@ -77,3 +77,26 @@ def test_request_queue(prover):
     prover.submit_request(bad)
     with pytest.raises(RuntimeError, match="unknown request type"):
         prover.wait_for_request(bad.uuid, timeout=30)
+
+
+def test_blake2b_vector():
+    from zkevm_prover_tpu.ops import blake
+
+    assert blake.blake2b_256_test()
+    assert len(blake.blake2b_256(b"abc")) == 32
+
+
+def test_aggregate_tree_four_batches(prover):
+    bps = []
+    root = "0x" + "00" * 32
+    acc = "0x" + "00" * 32
+    for i in range(4):
+        bp = prover.gen_batch_proof(_input(old_root=root, old_acc=acc, num=i))
+        root, acc = bp.publics.new_state_root, bp.publics.new_acc_input_hash
+        bps.append(bp)
+    agg = prover.aggregate_tree(bps)
+    assert agg.publics.old_batch_num == 0
+    assert agg.publics.new_batch_num == 4
+    assert prover.verify_aggregated_proof(agg)
+    final = prover.gen_final_proof(agg)
+    assert prover.verify_final_proof(final)

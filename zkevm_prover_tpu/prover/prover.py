@@ -147,6 +147,21 @@ class Prover:
             pub.new_state_root = pub.old_state_root
         return BatchProof(publics=pub, sm_proofs=sm_proofs, counters=counters)
 
+    def aggregate_tree(self, proofs: list) -> "AggregatedProof | BatchProof":
+        """Binary-tree reduction over an ordered batch-proof list — the
+        fan-in the external aggregator drives (SURVEY.md §3.3: recursive2
+        verifies two children, enabling a binary aggregation tree)."""
+        assert proofs, "nothing to aggregate"
+        layer = list(proofs)
+        while len(layer) > 1:
+            nxt = []
+            for i in range(0, len(layer) - 1, 2):
+                nxt.append(self.gen_aggregated_proof(layer[i], layer[i + 1]))
+            if len(layer) % 2:
+                nxt.append(layer[-1])
+            layer = nxt
+        return layer[0]
+
     def gen_aggregated_proof(self, p1, p2) -> AggregatedProof:
         """Join two proofs; mirrors the consistency checks of
         Prover::genAggregatedProof (prover.cpp:700-740)."""
