@@ -15,7 +15,7 @@ import numpy as np
 from ..stark.prover import StarkProver
 from ..stark.setup import StarkSetup
 from ..stark.verifier import verify
-from .sm import arith, binary, mem_align, memory
+from .sm import arith, binary, mem_align, memory, padding_pg
 
 
 @dataclasses.dataclass
@@ -28,18 +28,20 @@ class BatchActions:
     arith: list = dataclasses.field(default_factory=list)
     mem_align: list = dataclasses.field(default_factory=list)
     poseidon_g: list = dataclasses.field(default_factory=list)
+    padding_pg: list = dataclasses.field(default_factory=list)
 
 
 from .sm import poseidon_g  # noqa: E402
 
 _SM_MODULES = {"binary": binary, "memory": memory, "arith": arith,
-               "mem_align": mem_align, "poseidon_g": poseidon_g}
+               "mem_align": mem_align, "poseidon_g": poseidon_g,
+               "padding_pg": padding_pg}
 
 # per-SM trace degree — the reference fixes one N = 2^23 for all SMs; with
 # per-SM STARK instances each machine gets the smallest domain that fits its
 # lookup tables (binary's nibble-semantics table needs 2816 rows)
 DEFAULT_BITS = {"binary": 12, "memory": 9, "arith": 9, "mem_align": 9,
-                "poseidon_g": 9}
+                "poseidon_g": 9, "padding_pg": 9}
 
 
 class Executor:
@@ -91,6 +93,9 @@ class Executor:
         if actions.poseidon_g:
             out["poseidon_g"] = poseidon_g.execute(
                 actions.poseidon_g, self.n_bits["poseidon_g"])
+        if actions.padding_pg:
+            out["padding_pg"], _ = padding_pg.execute(
+                actions.padding_pg, self.n_bits["padding_pg"])
         return out
 
     def counters(self, actions: BatchActions) -> dict[str, int]:
@@ -110,6 +115,9 @@ class Executor:
             "poseidon_g": len(actions.poseidon_g),
             "poseidon_g_capacity": (1 << self.n_bits["poseidon_g"])
             // poseidon_g.GROUP,
+            "padding_pg": len(actions.padding_pg),
+            "padding_pg_capacity": (1 << self.n_bits["padding_pg"])
+            // padding_pg.GROUP,
         }
 
     def prove_all(self, actions: BatchActions) -> dict[str, object]:

@@ -42,14 +42,8 @@ def _full_round(r: int) -> bool:
     return r < half or r >= half + pc.ROUNDS_P
 
 
-def build_air(n_bits: int) -> AIR:
-    n = 1 << n_bits
-    assert n % GROUP == 0
-    air = AIR("poseidon_g", n_bits)
-    s = air.committed(*[f"S{j}" for j in range(W)])
-    t = air.committed(*[f"T{j}" for j in range(W)])
-    sb = air.committed(*[f"SB{j}" for j in range(W)])
-
+def add_permutation_constraints(air: AIR, s, t, sb, n: int):
+    """The round identities shared with PaddingPG (which chains groups)."""
     C = pc.round_constants()
     M = pc.mds_matrix()
 
@@ -92,6 +86,17 @@ def build_air(n_bits: int) -> AIR:
             term = sb[j] * int(M[i][j])
             acc = term if acc is None else acc + term
         air.require_zero(ACT * (ex.Cm(s[i].id, True) - acc))
+    return ACT, FULL
+
+
+def build_air(n_bits: int) -> AIR:
+    n = 1 << n_bits
+    assert n % GROUP == 0
+    air = AIR("poseidon_g", n_bits)
+    s = air.committed(*[f"S{j}" for j in range(W)])
+    t = air.committed(*[f"T{j}" for j in range(W)])
+    sb = air.committed(*[f"SB{j}" for j in range(W)])
+    add_permutation_constraints(air, s, t, sb, n)
     return air
 
 
