@@ -15,7 +15,7 @@ import numpy as np
 from ..stark.prover import StarkProver
 from ..stark.setup import StarkSetup
 from ..stark.verifier import verify
-from .sm import arith, binary, mem_align, memory, padding_pg
+from .sm import arith, binary, climb_key, mem_align, memory, padding_pg
 
 
 @dataclasses.dataclass
@@ -29,19 +29,20 @@ class BatchActions:
     mem_align: list = dataclasses.field(default_factory=list)
     poseidon_g: list = dataclasses.field(default_factory=list)
     padding_pg: list = dataclasses.field(default_factory=list)
+    climb_key: list = dataclasses.field(default_factory=list)
 
 
 from .sm import poseidon_g  # noqa: E402
 
 _SM_MODULES = {"binary": binary, "memory": memory, "arith": arith,
                "mem_align": mem_align, "poseidon_g": poseidon_g,
-               "padding_pg": padding_pg}
+               "padding_pg": padding_pg, "climb_key": climb_key}
 
 # per-SM trace degree — the reference fixes one N = 2^23 for all SMs; with
 # per-SM STARK instances each machine gets the smallest domain that fits its
 # lookup tables (binary's nibble-semantics table needs 2816 rows)
 DEFAULT_BITS = {"binary": 12, "memory": 9, "arith": 9, "mem_align": 9,
-                "poseidon_g": 9, "padding_pg": 9}
+                "poseidon_g": 9, "padding_pg": 9, "climb_key": 10}
 
 
 class Executor:
@@ -96,6 +97,9 @@ class Executor:
         if actions.padding_pg:
             out["padding_pg"], _ = padding_pg.execute(
                 actions.padding_pg, self.n_bits["padding_pg"])
+        if actions.climb_key:
+            out["climb_key"] = climb_key.execute(
+                actions.climb_key, self.n_bits["climb_key"])
         return out
 
     def counters(self, actions: BatchActions) -> dict[str, int]:
@@ -118,6 +122,9 @@ class Executor:
             "padding_pg": len(actions.padding_pg),
             "padding_pg_capacity": (1 << self.n_bits["padding_pg"])
             // padding_pg.GROUP,
+            "climb_key": len(actions.climb_key),
+            "climb_key_capacity": (1 << self.n_bits["climb_key"])
+            // (64 // climb_key.params_for(self.n_bits["climb_key"])[0]),
         }
 
     def prove_all(self, actions: BatchActions) -> dict[str, object]:
