@@ -48,7 +48,7 @@ def _step(chunk: int, carry: int, lt: int, pos: int, b: int, k: int):
 
 def params_for(n_bits: int) -> tuple[int, int]:
     """(chunk_bits, clocks): largest chunk width whose mid-table fits."""
-    for b in (16, 8, 4):
+    for b in (16, 8, 4, 2):
         k = 64 // b
         if (k - 1) * 4 * (1 << b) <= (1 << n_bits):
             return b, k
