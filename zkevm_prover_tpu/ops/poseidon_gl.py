@@ -80,6 +80,9 @@ def _mds_pow2(s, exps):
 
 
 USE_PALLAS = "auto"  # "auto" | True | False
+# below this batch the XLA path wins: the kernel pads to 512 lanes and each
+# new shape costs a ~15 s Mosaic compile — small Merkle levels are noise
+PALLAS_MIN_BATCH = 4096
 
 
 def _pallas_wanted() -> bool:
@@ -118,7 +121,8 @@ def permute(state):
     4 full) — a fully unrolled graph compiles pathologically slowly on the
     CPU backend.
     """
-    if state.ndim == 2 and _pallas_wanted():
+    if (state.ndim == 2 and state.shape[0] >= PALLAS_MIN_BATCH
+            and _pallas_wanted()):
         from . import poseidon_pallas as pp
 
         if pp.available():
