@@ -355,8 +355,9 @@ class StarkProver:
         transcript.put(self.scheme.root_ints(tree1.root()))
         challenges[0] = transcript.get_field3()
         challenges[1] = transcript.get_field3()
-        cm2_n, ok = self._phase2_fn(cm1_n, self.const_n, jnp.asarray(challenges),
-                                    publics_dev)
+        cm2_n, lookups_ok = self._phase2_fn(cm1_n, self.const_n,
+                                            jnp.asarray(challenges),
+                                            publics_dev)
         cm2_2ns = self._extend(cm2_n) if s.section_width[2] else jnp.zeros(
             (s.n_ext, 0), jnp.uint64)
         tree2 = self.scheme.commit(cm2_2ns)
@@ -369,7 +370,10 @@ class StarkProver:
             self._check_fn(cm1_n, cm2_n, cm3_n, self.const_n,
                            jnp.asarray(challenges), publics_dev)
         )
-        return [i for i, v in enumerate(maxima) if int(v) != 0]
+        bad: list = [i for i, v in enumerate(maxima) if int(v) != 0]
+        if not bool(lookups_ok):
+            bad.append("plookup")  # some f tuple is not in its t table
+        return bad
 
     # -- main entry ------------------------------------------------------------
 

@@ -112,8 +112,13 @@ class StarkSetup:
             f_exp = _horner(lk.f, U)
             if lk.sel_f is not None:
                 f_exp = lk.sel_f * (f_exp - t_exp) + t_exp
-            dim = 3 if (len(lk.t) > 1 or len(lk.f) > 1 or lk.sel_t is not None
-                        or lk.sel_f is not None) else 1
+            # h1/h2 live in the extension iff the compressed f/t expressions
+            # do (multi-column tuples pull in the U challenge; sel_t pulls in
+            # DEFVAL; a sel_f over single base columns stays in the base
+            # field and phase 2 emits (N, 1) columns for it)
+            cm1_dim = lambda cid: 1
+            dim = 3 if (ex.uses_extension(f_exp, cm1_dim)
+                        or ex.uses_extension(t_exp, cm1_dim)) else 1
             h1 = new_col(2, dim, f"pu{li}.h1", w2)
             h2 = new_col(2, dim, f"pu{li}.h2", w2)
             z = new_col(3, 3, f"pu{li}.z", w3)
