@@ -1,0 +1,899 @@
+"""Main SM — the zk-ASM ROM interpreter and its AIR.
+
+Reference: src/main_sm/fork_9/main/main_executor.cpp (fetch-decode-execute
+loop at :297-5400, op-selector accumulation :452-755, jump logic
+:5040-5230, setters :4700-5000) and the fork_9 main PIL semantics. The
+executor walks the ROM one line per trace row: it accumulates
+`op = Σ inX·X + CONST` across the register file, resolves free inputs
+(command ASTs or flag-derived values: memory reads, SMT reads/writes, hash
+digests), dispatches co-processor actions, applies the set* register
+writebacks, and computes the next zkPC (JMP/JMPN/JMPC/JMPZ/call/return/
+repeat).
+
+TPU-first redesign notes:
+  * The trace is generated on the host (it is inherently sequential and
+    data-dependent — the same split the reference uses: C++ executor fills
+    pols, GPU/AVX proves); the AIR constraint evaluation, LDE, Merkle and
+    FRI all run on device via the shared eSTARK engine.
+  * The ROM program is bound with ONE wide plookup: the committed per-row
+    instruction columns (selectors, setters, jump flags, CONST limbs,
+    addresses) must match some line of the ROM constant table at the row's
+    zkPC. pil-stark reaches the same binding through main.pil's Rom lookup.
+  * PIL intermediate expressions that would push constraint degree past the
+    blowup budget (op, doJMP, stay, isRcxNZ, isOpZero) are materialized as
+    committed columns with degree-2/3 defining identities — exactly the
+    role of pil-stark's `im` polynomials.
+  * The JMPN 32-bit range proof is domain-adaptive: lJmpnCondValue +
+    hJmpnCondValueBit[9] (commit_pols.hpp:1470-1471) assume N = 2^23; here
+    the condition value is decomposed into ceil(32/b) chunks of
+    b = min(n_bits, 16) bits, each range-checked by plookup, so small test
+    domains carry the same soundness.
+
+Co-processor binding (memory/arith/binary/hash/storage plookups across SMs)
+is host-checked action emission for now — the cross-SM lookup unification
+milestone replaces it with shared-challenge lookups.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ...ops import goldilocks as gl
+from ...ops import keccak as keccak_mod
+from ...ops import refmodel as rm
+from ...ops import sha256 as sha256_mod
+from ...ops import poseidon_constants as pc
+from ...stark import expr as ex
+from ...stark.air import AIR
+from .. import eval_command as evc
+from ..rom import Rom
+
+P = gl.P
+MASK32 = 0xFFFFFFFF
+MASK256 = (1 << 256) - 1
+
+# address-space offsets (main_executor.cpp:841-866)
+CTX_OFFSET = 0x40000
+STACK_OFFSET = 0x10000
+MEM_OFFSET = 0x20000
+
+REGS8 = ("A", "B", "C", "D", "E", "SR")
+SCALAR_REGS = ("CTX", "SP", "PC", "GAS", "RR", "HASHPOS", "RCX")
+
+# committed instruction columns bound to the ROM table by the plookup,
+# as (column name, rom-line attribute)
+BOUND_FLAG_COLS = [
+    ("inA", "inA"), ("inB", "inB"), ("inC", "inC"), ("inD", "inD"),
+    ("inE", "inE"), ("inSR", "inSR"), ("inROTL_C", "inROTL_C"),
+    ("inFREE", "inFREE"), ("inFREE0", "inFREE0"),
+    ("inCTX", "inCTX"), ("inSP", "inSP"), ("inPC", "inPC"),
+    ("inGAS", "inGAS"), ("inSTEP", "inSTEP"), ("inRR", "inRR"),
+    ("inHASHPOS", "inHASHPOS"), ("inRCX", "inRCX"),
+    ("setA", "setA"), ("setB", "setB"), ("setC", "setC"), ("setD", "setD"),
+    ("setE", "setE"), ("setSR", "setSR"), ("setCTX", "setCTX"),
+    ("setSP", "setSP"), ("setPC", "setPC"), ("setGAS", "setGAS"),
+    ("setRR", "setRR"), ("setHASHPOS", "setHASHPOS"), ("setRCX", "setRCX"),
+    ("JMP", "JMP"), ("JMPN", "JMPN"), ("JMPC", "JMPC"), ("JMPZ", "JMPZ"),
+    ("CALL", "call"), ("RETURN", "return_"), ("REPEAT", "repeat"),
+    ("useJmpAddr", "useJmpAddr"), ("useElseAddr", "useElseAddr"),
+    ("useCTX", "useCTX"), ("isStack", "isStack"), ("isMem", "isMem"),
+    ("mOp", "mOp"), ("mWR", "mWR"), ("ASSERT", "assert_"),
+    ("jmpAddr", "jmpAddr"), ("elseAddr", "elseAddr"),
+    ("OFFSET", "offset"), ("IND", "ind"), ("INDRR", "indRR"),
+    ("INCSTACK", "incStack"),
+]
+CONST_COLS = [f"CONST{l}" for l in range(8)]
+
+# ROM-line selector fields whose semantics are not yet in the AIR: a loaded
+# program may not use them for a *provable* run (the interpreter still
+# executes them for process_batch-style runs)
+UNBOUND_IN_FIELDS = ("inCntArith", "inCntBinary", "inCntMemAlign",
+                     "inCntKeccakF", "inCntSha256F", "inCntPoseidonG",
+                     "inCntPaddingPG")
+
+
+def _reg8_cols():
+    return [f"{r}{l}" for r in REGS8 for l in range(8)]
+
+
+def columns(n_bits: int) -> list[str]:
+    """Committed column names, in trace order."""
+    b = min(n_bits, 16)
+    k = -(-32 // b)
+    return (
+        _reg8_cols()
+        + list(SCALAR_REGS) + ["zkPC"]
+        + [f"FREE{l}" for l in range(8)]
+        + [f"OP{l}" for l in range(8)]
+        + [c for c, _ in BOUND_FLAG_COLS]
+        + CONST_COLS
+        + ["ADDR", "CARRY", "ISNEG", "ISOPZ", "OP0INV", "RCXINV",
+           "ISRCXNZ", "STAY", "DOJMP", "INCHASHPOS"]
+        + [f"JMPN_CH{j}" for j in range(k)]
+    )
+
+
+def rom_table(rom: Rom, n: int) -> dict[str, np.ndarray]:
+    """ROM constant columns over line index (zero-padded past the program)."""
+    assert len(rom) <= n, f"program ({len(rom)} lines) exceeds domain ({n})"
+    t = {"LINE": np.arange(n, dtype=np.uint64)}
+    for col, attr in BOUND_FLAG_COLS:
+        vals = np.zeros(n, dtype=np.uint64)
+        for i, ln in enumerate(rom.lines):
+            vals[i] = int(getattr(ln, attr)) % P
+        t[col] = vals
+    for l in range(8):
+        vals = np.zeros(n, dtype=np.uint64)
+        for i, ln in enumerate(rom.lines):
+            vals[i] = _const_limb(ln, l)
+        t[f"CONST{l}"] = vals
+    return t
+
+
+def _const_limb(ln, l: int) -> int:
+    if ln.bConstL:
+        return (ln.CONSTL >> (32 * l)) & MASK32
+    if ln.bConst and l == 0:
+        return ln.CONST % P
+    return 0
+
+
+def build_air(rom: Rom, n_bits: int) -> AIR:
+    n = 1 << n_bits
+    for i, ln in enumerate(rom.lines):
+        for f in UNBOUND_IN_FIELDS:
+            if getattr(ln, f):
+                raise NotImplementedError(
+                    f"line {i}: selector {f} has no AIR binding yet")
+
+    air = AIR("main", n_bits)
+    names = columns(n_bits)
+    handles = air.committed(*names)
+    c = dict(zip(names, handles))
+
+    def nxt(col):
+        return ex.Cm(c[col].id, True)
+
+    STEP = air.constant("STEP", np.arange(n, dtype=np.uint64))
+    l1 = air.lagrange_first()
+
+    # -- ROM binding: one wide plookup ------------------------------------
+    tbl = rom_table(rom, n)
+    tcols = [air.constant(f"ROM_{k}", v) for k, v in tbl.items()]
+    fcols = [c["zkPC"]] + [c[col] for col, _ in BOUND_FLAG_COLS] \
+        + [c[col] for col in CONST_COLS]
+    air.lookup(fcols, tcols)
+
+    # -- op accumulation (materialized im pols) ---------------------------
+    for l in range(8):
+        acc = ex.Number(0)
+        for r in REGS8:
+            acc = acc + c[f"in{r}"] * c[f"{r}{l}"]
+        acc = acc + c["inROTL_C"] * c[f"C{(l + 7) % 8}"]
+        acc = acc + c["inFREE"] * c[f"FREE{l}"]
+        acc = acc + c[f"CONST{l}"]
+        if l == 0:
+            for s in SCALAR_REGS:
+                acc = acc + c[f"in{s}"] * c[s]
+            acc = acc + c["inSTEP"] * STEP
+            acc = acc + c["inFREE0"] * c["FREE0"]
+        air.require_zero(c[f"OP{l}"] - acc)
+
+    # -- ASSERT: op == A --------------------------------------------------
+    for l in range(8):
+        air.require_zero(c["ASSERT"] * (c[f"OP{l}"] - c[f"A{l}"]))
+
+    # -- register write-back (cyclic: row N-1 wraps onto row 0) -----------
+    for r in REGS8:
+        s = c[f"set{r}"]
+        for l in range(8):
+            air.require_zero(
+                nxt(f"{r}{l}") - s * c[f"OP{l}"] - (1 - s) * c[f"{r}{l}"])
+    for s_name, extra in (("CTX", None), ("PC", None), ("GAS", None)):
+        s = c[f"set{s_name}"]
+        air.require_zero(nxt(s_name) - s * c["OP0"] - (1 - s) * c[s_name])
+    # SP' = setSP·op0 + (1-setSP)·(SP + incStack)
+    s = c["setSP"]
+    air.require_zero(
+        nxt("SP") - s * c["OP0"] - (1 - s) * (c["SP"] + c["INCSTACK"]))
+    # RR' = setRR·op0 + (1-setRR)·(call·(zkPC+1) + (1-call)·RR)
+    s = c["setRR"]
+    air.require_zero(
+        nxt("RR") - s * c["OP0"]
+        - (1 - s) * (c["CALL"] * (c["zkPC"] + 1) + (1 - c["CALL"]) * c["RR"]))
+    # RCX' = setRCX·op0 + (1-setRCX)·(RCX - repeat·isRcxNZ)
+    s = c["setRCX"]
+    air.require_zero(
+        nxt("RCX") - s * c["OP0"]
+        - (1 - s) * (c["RCX"] - c["REPEAT"] * c["ISRCXNZ"]))
+    # HASHPOS' = setHASHPOS·op0 + (1-setHASHPOS)·HASHPOS + incHashPos
+    s = c["setHASHPOS"]
+    air.require_zero(
+        nxt("HASHPOS") - c["INCHASHPOS"] - s * c["OP0"]
+        - (1 - s) * c["HASHPOS"])
+
+    # -- RCX / OP0 zero-flag machinery ------------------------------------
+    air.require_zero(c["ISRCXNZ"] - c["RCX"] * c["RCXINV"])
+    air.require_zero(c["RCX"] * (1 - c["ISRCXNZ"]))
+    air.require_zero(c["STAY"] - c["REPEAT"] * c["ISRCXNZ"])
+    air.require_zero(
+        c["JMPZ"] * (c["ISOPZ"] - (1 - c["OP0"] * c["OP0INV"])))
+    air.require_zero(c["JMPZ"] * c["OP0"] * c["ISOPZ"])
+
+    # -- JMPN: prove op0 in (-2^32, 2^32) ---------------------------------
+    b = min(n_bits, 16)
+    k = -(-32 // b)
+    air.require_zero(c["ISNEG"] * (1 - c["ISNEG"]))
+    air.require_zero((1 - c["JMPN"]) * c["ISNEG"])
+    acc = ex.Number(0)
+    for j in range(k):
+        acc = acc + c[f"JMPN_CH{j}"] * (1 << (j * b))
+    air.require_zero(
+        acc - c["JMPN"] * (c["ISNEG"] * (1 << 32) + c["OP0"]))
+    full = air.constant(
+        "RANGE", np.arange(n, dtype=np.uint64) & ((1 << b) - 1))
+    top_w = 32 - (k - 1) * b
+    top = air.constant(
+        "RANGE_TOP", np.arange(n, dtype=np.uint64) % (1 << top_w))
+    for j in range(k):
+        air.lookup([c[f"JMPN_CH{j}"]], [top if j == k - 1 else full],
+                   sel_f=c["JMPN"])
+
+    # -- carry (bound host-side to the Binary SM for now) -----------------
+    air.require_zero(c["CARRY"] * (1 - c["CARRY"]))
+
+    # -- memory address ----------------------------------------------------
+    air.require_zero(
+        c["ADDR"] - (c["OFFSET"] + c["IND"] * c["E0"] + c["INDRR"] * c["RR"]
+                     + c["isStack"] * c["SP"]
+                     + c["useCTX"] * c["CTX"] * CTX_OFFSET
+                     + c["isStack"] * STACK_OFFSET + c["isMem"] * MEM_OFFSET))
+
+    # -- control flow ------------------------------------------------------
+    air.require_zero(
+        c["DOJMP"] - (c["JMP"] + c["CALL"] + c["JMPN"] * c["ISNEG"]
+                      + c["JMPC"] * c["CARRY"] + c["JMPZ"] * c["ISOPZ"]))
+    dest = c["useJmpAddr"] * c["jmpAddr"] + (1 - c["useJmpAddr"]) * c["ADDR"]
+    els = c["useElseAddr"] * c["elseAddr"] \
+        + (1 - c["useElseAddr"]) * (c["zkPC"] + 1)
+    air.require_zero(
+        nxt("zkPC") - c["RETURN"] * c["RR"]
+        - (1 - c["RETURN"]) * (
+            c["DOJMP"] * dest
+            + (1 - c["DOJMP"]) * (c["STAY"] * c["zkPC"]
+                                  + (1 - c["STAY"]) * els)))
+    air.require_zero(l1 * c["zkPC"])
+    return air
+
+
+# ---------------------------------------------------------------------------
+# Interpreter
+# ---------------------------------------------------------------------------
+
+
+class ExecutorError(Exception):
+    def __init__(self, msg, step=None, zk_pc=None, line=None):
+        loc = f" step={step} zkPC={zk_pc}"
+        if line is not None and line.line_str:
+            loc += f" [{line.line_str.strip()}]"
+        super().__init__(msg + loc)
+
+
+@dataclasses.dataclass
+class MainResult:
+    trace: np.ndarray            # (N, n_columns) in `columns()` order
+    actions: object              # executor.BatchActions
+    counters: dict
+    logs: list
+    mem: dict
+    new_state_root: tuple | None
+
+
+class _HashState:
+    __slots__ = ("data", "length", "digest", "digest_called")
+
+    def __init__(self):
+        self.data = bytearray()
+        self.length = None
+        self.digest = None
+        self.digest_called = False
+
+
+# binOpcode numbering (main_executor.cpp binary dispatch)
+BIN_OPS = {0: "ADD", 1: "SUB", 2: "LT", 3: "SLT", 4: "EQ", 5: "AND",
+           6: "OR", 7: "XOR"}
+
+
+def _bin_result(opname: str, a: int, b: int) -> tuple[int, int]:
+    """(result, carry) with 256-bit EVM semantics."""
+    if opname == "ADD":
+        s = a + b
+        return s & MASK256, s >> 256
+    if opname == "SUB":
+        return (a - b) & MASK256, 1 if a < b else 0
+    if opname == "LT":
+        return int(a < b), int(a < b)
+    if opname == "SLT":
+        sa = a - (1 << 256) if a >> 255 else a
+        sb = b - (1 << 256) if b >> 255 else b
+        return int(sa < sb), int(sa < sb)
+    if opname == "EQ":
+        return int(a == b), int(a == b)
+    if opname == "AND":
+        r = a & b
+        return r, int(r != 0)
+    if opname == "OR":
+        return a | b, 0
+    if opname == "XOR":
+        return a ^ b, 0
+    raise ValueError(opname)
+
+
+class MainExecutor:
+    """Host-side fetch-decode-execute over a ROM; one trace row per step.
+
+    `smt` is a hashdb.smt.Smt (or None to disallow sRD/sWR); `input` is the
+    batch input dict (timestamp, batchL2Data, oldStateRoot as 4-tuple, ...).
+    """
+
+    def __init__(self, rom: Rom, n_bits: int):
+        self.rom = rom
+        self.n_bits = n_bits
+        self.n = 1 << n_bits
+
+    def execute(self, input: dict | None = None, smt=None) -> MainResult:
+        from ..executor import BatchActions
+
+        rom, n = self.rom, self.n
+        inp = dict(input or {})
+        actions = BatchActions()
+        names = columns(self.n_bits)
+        col = {nm: i for i, nm in enumerate(names)}
+        tr = np.zeros((n, len(names)), dtype=np.uint64)
+        b = min(self.n_bits, 16)
+        k_ch = -(-32 // b)
+
+        # machine state
+        regs8 = {r: [0] * 8 for r in REGS8}
+        scal = {s: 0 for s in SCALAR_REGS}
+        zk_pc = 0
+        mem: dict[int, list[int]] = {}
+        hash_k: dict[int, _HashState] = {}
+        hash_p: dict[int, _HashState] = {}
+        hash_s: dict[int, _HashState] = {}
+        counters = {k: 0 for k in ("arith", "binary", "memAlign", "keccakF",
+                                   "sha256F", "poseidonG", "paddingPG")}
+        state_root = inp.get("oldStateRoot")
+        if state_root is not None:
+            regs8["SR"] = _fe4_to_fea8(state_root)
+
+        ctx = _CmdCtx(self, inp, regs8, scal, mem, n)
+
+        poseidon = rm.Poseidon(pc.round_constants(), pc.mds_matrix())
+
+        for step in range(n):
+            if zk_pc >= len(rom):
+                raise ExecutorError(f"zkPC {zk_pc} out of program", step, zk_pc)
+            ln = rom[zk_pc]
+            ctx.step, ctx.zk_pc = step, zk_pc
+            row = tr[step]
+
+            # state snapshot for this row
+            for r in REGS8:
+                for l in range(8):
+                    row[col[f"{r}{l}"]] = regs8[r][l]
+            for s in SCALAR_REGS:
+                row[col[s]] = scal[s]
+            row[col["zkPC"]] = zk_pc
+            for cname, attr in BOUND_FLAG_COLS:
+                row[col[cname]] = int(getattr(ln, attr)) % P
+            for l in range(8):
+                row[col[f"CONST{l}"]] = _const_limb(ln, l)
+
+            for cmd in ln.cmd_before:
+                evc.eval_command(ctx, cmd)
+
+            # ---- op accumulation (mod p per limb) -----------------------
+            op = [0] * 8
+            for r in REGS8:
+                sel = getattr(ln, f"in{r}")
+                if sel:
+                    for l in range(8):
+                        op[l] = (op[l] + sel * regs8[r][l]) % P
+            if ln.inROTL_C:
+                for l in range(8):
+                    op[l] = (op[l] + ln.inROTL_C * regs8["C"][(l + 7) % 8]) % P
+            for s in SCALAR_REGS:
+                sel = getattr(ln, f"in{s}")
+                if sel:
+                    op[0] = (op[0] + sel * scal[s]) % P
+            if ln.inSTEP:
+                op[0] = (op[0] + ln.inSTEP * step) % P
+            for l in range(8):
+                op[l] = (op[l] + _const_limb(ln, l)) % P
+
+            # ---- memory address ----------------------------------------
+            addr = ln.offset
+            if ln.ind:
+                addr += _to_s32(regs8["E"][0], "E0", step, zk_pc, ln)
+            if ln.indRR:
+                addr += _to_s32(scal["RR"], "RR", step, zk_pc, ln)
+            if ln.isStack:
+                addr += _to_s32(scal["SP"], "SP", step, zk_pc, ln)
+            if addr < 0:
+                raise ExecutorError(f"addrRel<0 ({addr})", step, zk_pc, ln)
+            if ln.useCTX:
+                addr += scal["CTX"] * CTX_OFFSET
+            if ln.isStack:
+                addr += STACK_OFFSET
+            if ln.isMem:
+                addr += MEM_OFFSET
+            row[col["ADDR"]] = addr % P
+
+            # ---- free input ---------------------------------------------
+            free = [0] * 8
+            if ln.inFREE or ln.inFREE0:
+                free = self._free_input(
+                    ctx, ln, addr, op, regs8, scal, mem,
+                    hash_k, hash_p, hash_s, smt, poseidon, step, zk_pc)
+                for l in range(8):
+                    row[col[f"FREE{l}"]] = free[l]
+                if ln.inFREE:
+                    for l in range(8):
+                        op[l] = (op[l] + ln.inFREE * free[l]) % P
+                if ln.inFREE0:
+                    op[0] = (op[0] + ln.inFREE0 * free[0]) % P
+
+            for l in range(8):
+                row[col[f"OP{l}"]] = op[l]
+
+            # ---- assert -------------------------------------------------
+            if ln.assert_:
+                if op != regs8["A"]:
+                    raise ExecutorError(
+                        f"ASSERT failed op={op} A={regs8['A']}",
+                        step, zk_pc, ln)
+
+            # ---- memory op ----------------------------------------------
+            if ln.mOp:
+                if ln.mWR:
+                    mem[addr] = list(op)
+                else:
+                    val = mem.get(addr, [0] * 8)
+                    if op != val:
+                        raise ExecutorError(
+                            f"MLOAD mismatch op={op} mem={val}",
+                            step, zk_pc, ln)
+                actions.memory.append({
+                    "addr": addr, "step": step, "wr": bool(ln.mWR),
+                    "value": _fea8_to_scalar_strict(op, step, zk_pc, ln)})
+
+            # ---- storage -------------------------------------------------
+            if ln.sRD or ln.sWR:
+                if smt is None:
+                    raise ExecutorError("storage op without smt", step, zk_pc, ln)
+                key = self._smt_key(regs8, poseidon)
+                old_root = _fea8_to_fe4(regs8["SR"])
+                if ln.sRD:
+                    res = smt.get(old_root, key)
+                    actions.storage.append(
+                        {"op": "get", "root": old_root, "key": key,
+                         "value": res.value})
+                else:
+                    value = _fea8_to_scalar_strict(
+                        regs8["D"], step, zk_pc, ln)
+                    # the free-input pass already ran this set (ctx.last_swrite
+                    # mirrors the reference's ctx.lastSWrite memoization)
+                    if ctx.last_swrite and ctx.last_swrite[0] == step:
+                        res = ctx.last_swrite[1]
+                    else:
+                        res = smt.set(old_root, key, value)
+                    state_root = res.new_root
+                    actions.storage.append(
+                        {"op": "set", "root": old_root, "key": key,
+                         "value": value, "new_root": res.new_root})
+                counters["poseidonG"] += 2
+
+            # ---- hash ops ------------------------------------------------
+            inc_hash_pos = 0
+            if ln.hashK or ln.hashK1:
+                inc_hash_pos = self._hash_write(
+                    hash_k, addr, op, scal, regs8, ln, ln.hashK1, step, zk_pc)
+            if ln.hashKLen:
+                self._hash_len(hash_k, addr, op, "K", step, zk_pc, ln)
+            if ln.hashKDigest:
+                hs = hash_k.get(addr)
+                if hs is None or hs.digest is None:
+                    raise ExecutorError("hashKDigest before len", step, zk_pc, ln)
+                if _fea8_to_scalar_strict(op, step, zk_pc, ln) != hs.digest:
+                    raise ExecutorError("hashKDigest mismatch", step, zk_pc, ln)
+                if not hs.digest_called:
+                    hs.digest_called = True
+                    counters["keccakF"] += len(hs.data) // 136 + 1
+            if ln.hashP or ln.hashP1:
+                inc_hash_pos = self._hash_write(
+                    hash_p, addr, op, scal, regs8, ln, ln.hashP1, step, zk_pc)
+            if ln.hashPLen:
+                self._hash_len(hash_p, addr, op, "P", step, zk_pc, ln,
+                               poseidon=poseidon, actions=actions)
+            if ln.hashPDigest:
+                hs = hash_p.get(addr)
+                if hs is None or hs.digest is None:
+                    raise ExecutorError("hashPDigest before len", step, zk_pc, ln)
+                if _fea8_to_scalar_strict(op, step, zk_pc, ln) != hs.digest:
+                    raise ExecutorError("hashPDigest mismatch", step, zk_pc, ln)
+            if ln.hashS or ln.hashS1:
+                inc_hash_pos = self._hash_write(
+                    hash_s, addr, op, scal, regs8, ln, ln.hashS1, step, zk_pc)
+            if ln.hashSLen:
+                self._hash_len(hash_s, addr, op, "S", step, zk_pc, ln)
+            if ln.hashSDigest:
+                hs = hash_s.get(addr)
+                if hs is None or hs.digest is None:
+                    raise ExecutorError("hashSDigest before len", step, zk_pc, ln)
+                if _fea8_to_scalar_strict(op, step, zk_pc, ln) != hs.digest:
+                    raise ExecutorError("hashSDigest mismatch", step, zk_pc, ln)
+            row[col["INCHASHPOS"]] = inc_hash_pos
+
+            # ---- arith ---------------------------------------------------
+            if ln.arithEq0:
+                a = _fea8_to_scalar_strict(regs8["A"], step, zk_pc, ln)
+                bb = _fea8_to_scalar_strict(regs8["B"], step, zk_pc, ln)
+                cc = _fea8_to_scalar_strict(regs8["C"], step, zk_pc, ln)
+                d = _fea8_to_scalar_strict(regs8["D"], step, zk_pc, ln)
+                o = _fea8_to_scalar_strict(op, step, zk_pc, ln)
+                if a * bb + cc != (d << 256) + o:
+                    raise ExecutorError("arithEq0 A·B+C != D·2^256+op",
+                                        step, zk_pc, ln)
+                actions.arith.append({"x1": a, "y1": bb, "x2": cc})
+                counters["arith"] += 1
+
+            # ---- binary --------------------------------------------------
+            carry = 0
+            if ln.bin:
+                opname = BIN_OPS.get(ln.binOpcode)
+                if opname is None:
+                    raise ExecutorError(f"binOpcode {ln.binOpcode}",
+                                        step, zk_pc, ln)
+                a = _fea8_to_scalar_strict(regs8["A"], step, zk_pc, ln)
+                bb = _fea8_to_scalar_strict(regs8["B"], step, zk_pc, ln)
+                res, carry = _bin_result(opname, a, bb)
+                if _fea8_to_scalar_strict(op, step, zk_pc, ln) != res:
+                    raise ExecutorError(f"bin {opname} result mismatch",
+                                        step, zk_pc, ln)
+                if opname == "SLT":
+                    # SLT(a,b) == LT(a^2^255, b^2^255): prove the flipped pair
+                    actions.binary.append({"op": "LT",
+                                           "a": a ^ (1 << 255),
+                                           "b": bb ^ (1 << 255)})
+                else:
+                    actions.binary.append({"op": opname, "a": a, "b": bb})
+                counters["binary"] += 1
+            row[col["CARRY"]] = carry
+
+            # ---- memAlign ------------------------------------------------
+            if ln.memAlignRD:
+                m0 = _fea8_to_scalar_strict(regs8["A"], step, zk_pc, ln)
+                m1 = _fea8_to_scalar_strict(regs8["B"], step, zk_pc, ln)
+                off = _fea8_to_scalar_strict(regs8["C"], step, zk_pc, ln)
+                if off > 32:
+                    raise ExecutorError(f"memAlign offset {off}", step, zk_pc, ln)
+                actions.mem_align.append({"w0": m0, "w1": m1, "offset": off})
+                counters["memAlign"] += 1
+
+            # ---- control flow -------------------------------------------
+            do_jmp = False
+            is_neg = 0
+            if ln.JMPN:
+                v = op[0]
+                if v >= P - (1 << 32):
+                    is_neg = 1
+                    cond = v - (P - (1 << 32))  # op0 + 2^32 mod p
+                    do_jmp = True
+                elif v < (1 << 32):
+                    cond = v
+                else:
+                    raise ExecutorError(f"JMPN op0 out of s32 ({v})",
+                                        step, zk_pc, ln)
+                for j in range(k_ch):
+                    row[col[f"JMPN_CH{j}"]] = (cond >> (j * b)) & ((1 << b) - 1)
+            elif ln.JMPC:
+                do_jmp = bool(carry)
+            elif ln.JMPZ:
+                do_jmp = op[0] == 0
+                row[col["ISOPZ"]] = int(op[0] == 0)
+                if op[0] != 0:
+                    row[col["OP0INV"]] = rm.inv(op[0])
+            elif ln.JMP or ln.call:
+                do_jmp = True
+            row[col["ISNEG"]] = is_neg
+            row[col["DOJMP"]] = int(do_jmp)
+
+            rcx_nz = scal["RCX"] != 0
+            if scal["RCX"]:
+                row[col["RCXINV"]] = rm.inv(scal["RCX"])
+            row[col["ISRCXNZ"]] = int(rcx_nz)
+            stay = bool(ln.repeat and rcx_nz)
+            row[col["STAY"]] = int(stay)
+
+            if ln.return_:
+                next_pc = scal["RR"]
+            elif do_jmp:
+                next_pc = ln.jmpAddr if ln.useJmpAddr else addr
+            elif stay:
+                next_pc = zk_pc
+            elif ln.useElseAddr:
+                next_pc = ln.elseAddr
+            else:
+                next_pc = zk_pc + 1
+
+            # ---- setters -------------------------------------------------
+            for r in REGS8:
+                if getattr(ln, f"set{r}"):
+                    regs8[r] = list(op)
+            for s in ("CTX", "PC", "GAS"):
+                if getattr(ln, f"set{s}"):
+                    scal[s] = op[0]
+            scal["SP"] = op[0] if ln.setSP else (scal["SP"] + ln.incStack) % P
+            if ln.setRR:
+                scal["RR"] = op[0]
+            elif ln.call:
+                scal["RR"] = zk_pc + 1
+            if ln.setRCX:
+                scal["RCX"] = op[0]
+            elif ln.repeat and rcx_nz:
+                scal["RCX"] = (scal["RCX"] - 1) % P
+            if ln.setHASHPOS:
+                scal["HASHPOS"] = (op[0] + inc_hash_pos) % P
+            else:
+                scal["HASHPOS"] = (scal["HASHPOS"] + inc_hash_pos) % P
+
+            for cmd in ln.cmd_after:
+                evc.eval_command(ctx, cmd)
+
+            zk_pc = next_pc
+
+        if zk_pc != 0:
+            raise ExecutorError(
+                f"trace does not close the cycle (final zkPC={zk_pc}); "
+                "end the program with RomBuilder.finalize()", self.n - 1, zk_pc)
+        for r in REGS8:
+            first = [int(tr[0][col[f"{r}{l}"]]) for l in range(8)]
+            if regs8[r] != first:
+                raise ExecutorError(
+                    f"register {r} not restored at wrap "
+                    f"(final={regs8[r]}, initial={first})", self.n - 1, 0)
+        for s in SCALAR_REGS:
+            if scal[s] != int(tr[0][col[s]]):
+                raise ExecutorError(
+                    f"register {s} not restored at wrap "
+                    f"(final={scal[s]}, initial={int(tr[0][col[s]])})",
+                    self.n - 1, 0)
+
+        return MainResult(trace=tr, actions=actions, counters=counters,
+                          logs=ctx.logs, mem=mem,
+                          new_state_root=state_root)
+
+    # ------------------------------------------------------------------
+
+    def _smt_key(self, regs8, poseidon):
+        """Storage key = Poseidon(A0..A5,B0,B1 | Poseidon(C | 0))
+        (main_executor.cpp:1080-1140)."""
+        kin0 = [regs8["C"][l] for l in range(8)] + [0, 0, 0, 0]
+        h0 = poseidon.permute(kin0)[:4]
+        kin1 = [regs8["A"][l] for l in range(6)] \
+            + [regs8["B"][0], regs8["B"][1]] + list(h0)
+        return tuple(poseidon.permute(kin1)[:4])
+
+    def _hash_write(self, pool, addr, op, scal, regs8, ln, one_byte,
+                    step, zk_pc):
+        hs = pool.setdefault(addr, _HashState())
+        size = 1 if one_byte else regs8["D"][0]
+        if not (1 <= size <= 32):
+            raise ExecutorError(f"hash size {size}", step, zk_pc, ln)
+        pos = scal["HASHPOS"]
+        val = _fea8_to_scalar_strict(op, step, zk_pc, ln)
+        if val >> (8 * size):
+            raise ExecutorError(f"hash value too big for size {size}",
+                                step, zk_pc, ln)
+        data = val.to_bytes(size, "big")
+        if pos != len(hs.data):
+            raise ExecutorError(
+                f"hash position {pos} != buffer length {len(hs.data)}",
+                step, zk_pc, ln)
+        hs.data.extend(data)
+        return size
+
+    def _hash_len(self, pool, addr, op, kind, step, zk_pc, ln,
+                  poseidon=None, actions=None):
+        hs = pool.setdefault(addr, _HashState())
+        length = op[0]
+        if length != len(hs.data):
+            raise ExecutorError(
+                f"hash len {length} != buffer {len(hs.data)}", step, zk_pc, ln)
+        hs.length = length
+        if kind == "P":
+            # hashP: Poseidon linear hash over 4-byte-packed field elements
+            vals = _bytes_to_u32_elems(bytes(hs.data))
+            digest4 = poseidon.linear_hash(vals)
+            hs.digest = _fe4_to_scalar(digest4)
+            if actions is not None and len(vals) > 4:
+                actions.padding_pg.append({"values": vals})
+        elif kind == "K":
+            hs.digest = int.from_bytes(
+                keccak_mod.keccak256(bytes(hs.data)), "big")
+        else:
+            hs.digest = int.from_bytes(
+                sha256_mod.sha256(bytes(hs.data)), "big")
+
+    def _free_input(self, ctx, ln, addr, op, regs8, scal, mem,
+                    hash_k, hash_p, hash_s, smt, poseidon, step, zk_pc):
+        tag = ln.free_in_tag
+        if tag is not None:
+            v = evc.eval_command(ctx, tag)
+            if isinstance(v, tuple):
+                return [x % P for x in v]
+            if v is None:
+                v = 0
+            if not isinstance(v, int):
+                raise ExecutorError(f"free input type {type(v)}", step, zk_pc, ln)
+            if v < 0 or v > MASK256:
+                raise ExecutorError(f"free input out of range ({v})",
+                                    step, zk_pc, ln)
+            return _scalar_to_fea8(v)
+        # flag-derived free value (main_executor.cpp:900-2000)
+        if ln.mOp and not ln.mWR:
+            return list(mem.get(addr, [0] * 8))
+        if ln.sRD:
+            key = self._smt_key(regs8, poseidon)
+            res = smt.get(_fea8_to_fe4(regs8["SR"]), key)
+            return _scalar_to_fea8(res.value)
+        if ln.sWR:
+            value = _fea8_to_scalar_strict(regs8["D"], step, zk_pc, ln)
+            key = self._smt_key(regs8, poseidon)
+            res = smt.set(_fea8_to_fe4(regs8["SR"]), key, value)
+            ctx.last_swrite = (step, res)
+            return _fe4_to_fea8(res.new_root)
+        if ln.hashKDigest:
+            hs = hash_k.get(addr)
+            if hs is None or hs.digest is None:
+                raise ExecutorError("hashKDigest before len", step, zk_pc, ln)
+            return _scalar_to_fea8(hs.digest)
+        if ln.hashPDigest:
+            hs = hash_p.get(addr)
+            if hs is None or hs.digest is None:
+                raise ExecutorError("hashPDigest before len", step, zk_pc, ln)
+            return _scalar_to_fea8(hs.digest)
+        if ln.hashSDigest:
+            hs = hash_s.get(addr)
+            if hs is None or hs.digest is None:
+                raise ExecutorError("hashSDigest before len", step, zk_pc, ln)
+            return _scalar_to_fea8(hs.digest)
+        if ln.memAlignRD:
+            m0 = _fea8_to_scalar_strict(regs8["A"], step, zk_pc, ln)
+            m1 = _fea8_to_scalar_strict(regs8["B"], step, zk_pc, ln)
+            off = _fea8_to_scalar_strict(regs8["C"], step, zk_pc, ln)
+            wb = (m0.to_bytes(32, "big") + m1.to_bytes(32, "big"))
+            return _scalar_to_fea8(
+                int.from_bytes(wb[off:off + 32], "big"))
+        if ln.bin:
+            opname = BIN_OPS.get(ln.binOpcode)
+            if opname is None:
+                raise ExecutorError(f"binOpcode {ln.binOpcode}", step, zk_pc, ln)
+            a = _fea8_to_scalar_strict(regs8["A"], step, zk_pc, ln)
+            bb = _fea8_to_scalar_strict(regs8["B"], step, zk_pc, ln)
+            return _scalar_to_fea8(_bin_result(opname, a, bb)[0])
+        if ln.arithEq0:
+            a = _fea8_to_scalar_strict(regs8["A"], step, zk_pc, ln)
+            bb = _fea8_to_scalar_strict(regs8["B"], step, zk_pc, ln)
+            cc = _fea8_to_scalar_strict(regs8["C"], step, zk_pc, ln)
+            return _scalar_to_fea8((a * bb + cc) & MASK256)
+        raise ExecutorError("inFREE without tag or flag source",
+                            step, zk_pc, ln)
+
+
+class _CmdCtx:
+    """Context object handed to eval_command."""
+
+    def __init__(self, executor, inp, regs8, scal, mem, n):
+        self.executor = executor
+        self.input = inp
+        self.regs8 = regs8
+        self.scal = scal
+        self.mem = mem
+        self.n = n
+        self.vars: dict = {}
+        self.logs: list = []
+        self.step = 0
+        self.zk_pc = 0
+        self.last_swrite = None  # (step, SmtSetResult) — reference lastSWrite
+
+    def get_reg(self, name: str):
+        if name in REGS8:
+            return _fea8_to_scalar_lenient(self.regs8[name])
+        if name in SCALAR_REGS:
+            return self.scal[name]
+        if name == "zkPC":
+            return self.zk_pc
+        if name == "STEP":
+            return self.step
+        raise evc.CommandError(f"getReg: unknown register {name!r}")
+
+    def get_mem(self, offset: int, use_ctx: bool):
+        addr = offset + (self.scal["CTX"] * CTX_OFFSET if use_ctx else 0)
+        return _fea8_to_scalar_lenient(self.mem.get(addr, [0] * 8))
+
+    def get_txs(self, pos: int, length: int):
+        data = self.input.get("batchL2Data", b"")
+        chunk = bytes(data[pos:pos + length])
+        chunk = chunk + b"\x00" * (length - len(chunk))
+        return int.from_bytes(chunk, "big")
+
+
+# ---------------------------------------------------------------------------
+# limb conversions
+# ---------------------------------------------------------------------------
+
+
+def _scalar_to_fea8(v: int) -> list[int]:
+    return [(v >> (32 * l)) & MASK32 for l in range(8)]
+
+
+def _fea8_to_scalar_strict(fea, step, zk_pc, ln) -> int:
+    out = 0
+    for l, fe in enumerate(fea):
+        fe = int(fe)
+        if fe > MASK32:
+            raise ExecutorError(
+                f"fea2scalar: limb {l} = {fe} exceeds 32 bits", step, zk_pc, ln)
+        out |= fe << (32 * l)
+    return out
+
+
+def _fea8_to_scalar_lenient(fea) -> int:
+    out = 0
+    for l, fe in enumerate(fea):
+        fe = int(fe)
+        if fe > MASK32:
+            raise evc.CommandError(f"fea2scalar: limb {l} out of range")
+        out |= fe << (32 * l)
+    return out
+
+
+def _fea8_to_fe4(fea8) -> tuple:
+    return tuple((int(fea8[2 * i]) | (int(fea8[2 * i + 1]) << 32)) % P
+                 for i in range(4))
+
+
+def _fe4_to_fea8(fe4) -> list[int]:
+    out = []
+    for fe in fe4:
+        fe = int(fe)
+        out += [fe & MASK32, fe >> 32]
+    return out
+
+
+def _fe4_to_scalar(fe4) -> int:
+    out = 0
+    for i, fe in enumerate(fe4):
+        out |= int(fe) << (64 * i)
+    return out
+
+
+def _bytes_to_u32_elems(data: bytes) -> list[int]:
+    """hashP packing: 4 big-endian bytes per field element."""
+    out = []
+    for i in range(0, len(data), 4):
+        out.append(int.from_bytes(data[i:i + 4], "big"))
+    return out
+
+
+def _to_s32(fe: int, what: str, step, zk_pc, ln) -> int:
+    fe = int(fe)
+    if fe < (1 << 31):
+        return fe
+    if fe > P - (1 << 31):
+        return fe - P
+    raise ExecutorError(f"{what} not a valid s32 ({fe})", step, zk_pc, ln)
