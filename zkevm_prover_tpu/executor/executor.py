@@ -15,7 +15,7 @@ import numpy as np
 from ..stark.prover import StarkProver
 from ..stark.setup import StarkSetup
 from ..stark.verifier import verify
-from .sm import arith, binary, climb_key, mem_align, memory, padding_pg
+from .sm import arith, binary, climb_key, mem_align, memory, padding_pg, storage
 
 
 @dataclasses.dataclass
@@ -30,19 +30,26 @@ class BatchActions:
     poseidon_g: list = dataclasses.field(default_factory=list)
     padding_pg: list = dataclasses.field(default_factory=list)
     climb_key: list = dataclasses.field(default_factory=list)
+    # emitted by the Main SM; proved by the Storage / PaddingKK / PaddingSha
+    # machines (storage actions currently host-verified via hashdb.smt)
+    storage: list = dataclasses.field(default_factory=list)
+    keccak: list = dataclasses.field(default_factory=list)
+    sha256: list = dataclasses.field(default_factory=list)
 
 
 from .sm import poseidon_g  # noqa: E402
 
 _SM_MODULES = {"binary": binary, "memory": memory, "arith": arith,
                "mem_align": mem_align, "poseidon_g": poseidon_g,
-               "padding_pg": padding_pg, "climb_key": climb_key}
+               "padding_pg": padding_pg, "climb_key": climb_key,
+               "storage": storage}
 
 # per-SM trace degree — the reference fixes one N = 2^23 for all SMs; with
 # per-SM STARK instances each machine gets the smallest domain that fits its
 # lookup tables (binary's nibble-semantics table needs 2816 rows)
 DEFAULT_BITS = {"binary": 12, "memory": 9, "arith": 9, "mem_align": 9,
-                "poseidon_g": 9, "padding_pg": 9, "climb_key": 10}
+                "poseidon_g": 9, "padding_pg": 9, "climb_key": 10,
+                "main": 9, "storage": 9}
 
 
 class Executor:
@@ -77,9 +84,23 @@ class Executor:
             self._provers[name] = StarkProver(setup)
         return self._provers[name]
 
-    def execute(self, actions: BatchActions) -> dict[str, np.ndarray]:
-        """Fill each SM's committed columns (reference: Executor::execute)."""
+    def execute(self, actions: BatchActions,
+                db=None) -> dict[str, np.ndarray]:
+        """Fill each SM's committed columns (reference: Executor::execute).
+
+        Runs the Storage SM first — its tree-walk replay emits PoseidonG /
+        ClimbKey requests that must join the batch before those SMs fill
+        their traces (the reference's Storage→ClimbKey / →PoseidonG pthread
+        dependency joins, executor.cpp:648-701)."""
         out = {}
+        if actions.storage:
+            if db is None:
+                raise ValueError("storage actions require the hashdb "
+                                 "database (pass db=smt.db)")
+            out["storage"], emitted = storage.execute(
+                actions.storage, self.n_bits["storage"], db)
+            actions.poseidon_g = actions.poseidon_g + emitted["poseidon_g"]
+            actions.climb_key = actions.climb_key + emitted["climb_key"]
         if actions.binary:
             out["binary"] = binary.execute(
                 actions.binary, self.n_bits["binary"], self.binary_slice_bits()
@@ -127,14 +148,46 @@ class Executor:
             // (64 // climb_key.params_for(self.n_bits["climb_key"])[0]),
         }
 
-    def prove_all(self, actions: BatchActions) -> dict[str, object]:
+    def prove_all(self, actions: BatchActions, db=None) -> dict[str, object]:
         """Prove every active SM; returns {name: (prover, proof)}."""
-        traces = self.execute(actions)
+        traces = self.execute(actions, db=db)
         proofs = {}
         for name, tr in traces.items():
             prover = self._prover(name)
             proofs[name] = (prover, prover.prove(tr))
         return proofs
+
+    # -- Main SM (ROM) path ------------------------------------------------
+
+    def run_rom(self, rom, input: dict | None = None, smt=None):
+        """Execute a zk-ASM ROM program (reference: fork_9 MainExecutor) —
+        fills the Main trace and emits the co-processor action batch."""
+        from .sm import main_sm
+
+        return main_sm.MainExecutor(
+            rom, self.n_bits["main"]).execute(input=input, smt=smt)
+
+    def main_prover(self, rom) -> StarkProver:
+        """Prover for the Main AIR bound to `rom` (cached per ROM object)."""
+        from .sm import main_sm
+
+        key = ("main", id(rom))
+        if key not in self._provers:
+            air = main_sm.build_air(rom, self.n_bits["main"])
+            self._provers[key] = StarkProver(
+                StarkSetup(air, n_queries=self.n_queries, fri_fold_bits=2))
+        return self._provers[key]
+
+    def prove_rom_batch(self, rom, input: dict | None = None,
+                        smt=None) -> tuple[object, dict]:
+        """Full batch proof from a ROM: Main proof + all dispatched co-SM
+        proofs (reference: Executor::execute + Prover::genBatchProof)."""
+        res = self.run_rom(rom, input=input, smt=smt)
+        prover = self.main_prover(rom)
+        proofs = {"main": (prover, prover.prove(res.trace))}
+        proofs.update(self.prove_all(
+            res.actions, db=smt.db if smt is not None else None))
+        return res, proofs
 
     def verify_all(self, proofs: dict) -> bool:
         for name, (prover, proof) in proofs.items():
