@@ -15,7 +15,8 @@ import numpy as np
 from ..stark.prover import StarkProver
 from ..stark.setup import StarkSetup
 from ..stark.verifier import verify
-from .sm import arith, binary, climb_key, mem_align, memory, padding_pg, storage
+from .sm import (arith, binary, climb_key, mem_align, memory, padding_kk,
+                 padding_pg, storage)
 
 
 @dataclasses.dataclass
@@ -42,14 +43,14 @@ from .sm import poseidon_g  # noqa: E402
 _SM_MODULES = {"binary": binary, "memory": memory, "arith": arith,
                "mem_align": mem_align, "poseidon_g": poseidon_g,
                "padding_pg": padding_pg, "climb_key": climb_key,
-               "storage": storage}
+               "storage": storage, "padding_kk": padding_kk}
 
 # per-SM trace degree — the reference fixes one N = 2^23 for all SMs; with
 # per-SM STARK instances each machine gets the smallest domain that fits its
 # lookup tables (binary's nibble-semantics table needs 2816 rows)
 DEFAULT_BITS = {"binary": 12, "memory": 9, "arith": 9, "mem_align": 9,
                 "poseidon_g": 9, "padding_pg": 9, "climb_key": 10,
-                "main": 9, "storage": 9}
+                "main": 9, "storage": 9, "padding_kk": 11}
 
 
 class Executor:
@@ -101,6 +102,12 @@ class Executor:
                 actions.storage, self.n_bits["storage"], db)
             actions.poseidon_g = actions.poseidon_g + emitted["poseidon_g"]
             actions.climb_key = actions.climb_key + emitted["climb_key"]
+        if actions.keccak:
+            # the emitted absorb-chain permutations feed the KeccakF SM; its
+            # ~155k-row slot needs a >= 2^18 domain, so it is proved in the
+            # dedicated keccak_f module rather than per-batch here
+            out["padding_kk"], _, _ = padding_kk.execute(
+                actions.keccak, self.n_bits["padding_kk"])
         if actions.binary:
             out["binary"] = binary.execute(
                 actions.binary, self.n_bits["binary"], self.binary_slice_bits()

@@ -502,7 +502,8 @@ class MainExecutor:
                 inc_hash_pos = self._hash_write(
                     hash_k, addr, op, scal, regs8, ln, ln.hashK1, step, zk_pc)
             if ln.hashKLen:
-                self._hash_len(hash_k, addr, op, "K", step, zk_pc, ln)
+                self._hash_len(hash_k, addr, op, "K", step, zk_pc, ln,
+                               actions=actions)
             if ln.hashKDigest:
                 hs = hash_k.get(addr)
                 if hs is None or hs.digest is None:
@@ -528,7 +529,8 @@ class MainExecutor:
                 inc_hash_pos = self._hash_write(
                     hash_s, addr, op, scal, regs8, ln, ln.hashS1, step, zk_pc)
             if ln.hashSLen:
-                self._hash_len(hash_s, addr, op, "S", step, zk_pc, ln)
+                self._hash_len(hash_s, addr, op, "S", step, zk_pc, ln,
+                               actions=actions)
             if ln.hashSDigest:
                 hs = hash_s.get(addr)
                 if hs is None or hs.digest is None:
@@ -724,9 +726,15 @@ class MainExecutor:
         elif kind == "K":
             hs.digest = int.from_bytes(
                 keccak_mod.keccak256(bytes(hs.data)), "big")
+            if actions is not None:
+                actions.keccak.append(
+                    {"data": bytes(hs.data), "digest": hs.digest})
         else:
             hs.digest = int.from_bytes(
                 sha256_mod.sha256(bytes(hs.data)), "big")
+            if actions is not None:
+                actions.sha256.append(
+                    {"data": bytes(hs.data), "digest": hs.digest})
 
     def _free_input(self, ctx, ln, addr, op, regs8, scal, mem,
                     hash_k, hash_p, hash_s, smt, poseidon, step, zk_pc):
