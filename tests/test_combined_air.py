@@ -1,0 +1,72 @@
+"""Combined batch AIR — Main + Memory in one proof with a proven binding.
+
+The permutation must reject a forged memory value even though BOTH the
+Main trace and the Memory trace are internally consistent — the class of
+attack host-side binding cannot catch inside a proof.
+"""
+
+import numpy as np
+import pytest
+
+from zkevm_prover_tpu.executor import combined
+from zkevm_prover_tpu.executor.rom import RomBuilder
+from zkevm_prover_tpu.executor.sm import main_sm, memory
+from zkevm_prover_tpu.stark.prover import StarkProver
+from zkevm_prover_tpu.stark.setup import StarkSetup
+
+N_BITS = 9
+
+_cache: dict = {}
+
+
+def _rom():
+    if "rom" not in _cache:
+        rb = RomBuilder()
+        val = 0xCAFEBABE_12345678
+        rb.line(CONSTL=val, setA=1)
+        rb.line("A :MSTORE(3)", inA=1, mOp=1, mWR=1, offset=3)
+        rb.line(":MLOAD(3) => B", inFREE=1, mOp=1, offset=3, setB=1)
+        rb.line("A == B :ASSERT", inB=1, assert_=1)
+        rb.line(CONSTL=7, setA=1)
+        rb.line("A :MSTORE(9)", inA=1, mOp=1, mWR=1, offset=9)
+        rb.clear_registers()
+        rb.finalize()
+        _cache["rom"] = rb.build()
+    return _cache["rom"]
+
+
+def _prover():
+    if "p" not in _cache:
+        _cache["p"] = StarkProver(StarkSetup(
+            combined.build_batch_air(_rom(), N_BITS),
+            n_queries=8, fri_fold_bits=2))
+    return _cache["p"]
+
+
+def test_combined_air_satisfied():
+    res, traces = combined.execute_batch(_rom(), N_BITS)
+    air = combined.build_batch_air(_rom(), N_BITS)
+    stacked = air.stack_traces(traces)
+    bad = _prover().check_constraints(stacked)
+    assert bad == [], f"violated constraints: {bad}"
+
+
+def test_combined_air_rejects_cross_sm_forgery():
+    res, traces = combined.execute_batch(_rom(), N_BITS)
+    air = combined.build_batch_air(_rom(), N_BITS)
+
+    # forge the Memory SM's copy of the second write: write 8 instead of 7
+    # at addr 9, and keep the Memory SM internally consistent (no read ever
+    # observes it) — only the cross-SM permutation can notice
+    mem_tr = traces["memory"].copy()
+    rows = np.nonzero(mem_tr[:, 0] == 9)[0]  # ADDR column
+    assert len(rows) == 1
+    mem_tr[rows[0], 6] = np.uint64(8)  # VAL0
+    mem_prover = StarkProver(StarkSetup(
+        memory.build_air(N_BITS), n_queries=8, fri_fold_bits=2))
+    assert mem_prover.check_constraints(mem_tr) == [], \
+        "forged memory trace should still be internally consistent"
+
+    stacked = air.stack_traces({"main": traces["main"], "memory": mem_tr})
+    assert _prover().check_constraints(stacked) != [], \
+        "combined AIR must reject the forged memory row"
