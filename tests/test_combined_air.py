@@ -29,6 +29,14 @@ def _rom():
         rb.line("A == B :ASSERT", inB=1, assert_=1)
         rb.line(CONSTL=7, setA=1)
         rb.line("A :MSTORE(9)", inA=1, mOp=1, mWR=1, offset=9)
+        # binary ops: an overflowing ADD consumed by JMPC, and an SLT
+        rb.line(CONSTL=(1 << 256) - 2, setA=1)
+        rb.line(CONSTL=5, setB=1)
+        rb.line("$ => C :ADD :JMPC(carried)", inFREE=1, bin=1, binOpcode=0,
+                setC=1, JMPC=1, useJmpAddr=1, jmpAddr="carried")
+        rb.line(CONST=123, setE=1)  # skipped
+        rb.label("carried")
+        rb.line("$ => D :SLT", inFREE=1, bin=1, binOpcode=3, setD=1)
         rb.clear_registers()
         rb.finalize()
         _cache["rom"] = rb.build()
@@ -67,6 +75,22 @@ def test_combined_air_rejects_cross_sm_forgery():
     assert mem_prover.check_constraints(mem_tr) == [], \
         "forged memory trace should still be internally consistent"
 
-    stacked = air.stack_traces({"main": traces["main"], "memory": mem_tr})
+    stacked = air.stack_traces({**traces, "memory": mem_tr})
     assert _prover().check_constraints(stacked) != [], \
         "combined AIR must reject the forged memory row"
+
+
+def test_combined_air_rejects_forged_carry():
+    res, traces = combined.execute_batch(_rom(), N_BITS)
+    air = combined.build_batch_air(_rom(), N_BITS)
+    cols = main_sm.columns(N_BITS)
+
+    # flip the carry on the SLT row (its carry feeds no jump, so the Main
+    # AIR alone only requires it boolean) — the binding must catch it
+    main_tr = traces["main"].copy()
+    bin_rows = np.nonzero(main_tr[:, cols.index("BIN")] == 1)[0]
+    r = int(bin_rows[-1])
+    main_tr[r, cols.index("CARRY")] ^= np.uint64(1)
+    stacked = air.stack_traces({**traces, "main": main_tr})
+    assert _prover().check_constraints(stacked) != [], \
+        "combined AIR must reject a forged binary carry"

@@ -17,7 +17,7 @@ from zkevm_prover_tpu.stark.setup import StarkSetup
 from zkevm_prover_tpu.stark.verifier import verify
 
 N_BITS = 9        # all SM domains (binary uses 2-bit slices at this size)
-BIN_SLICE = 2     # 2-bit slice table (224 rows) fits a 2^9 domain
+BIN_SLICE = 2     # 2-bit slice table (448 rows) fits a 2^9 domain
 M256 = (1 << 256) - 1
 
 
@@ -44,10 +44,19 @@ def test_binary_results():
     rng = random.Random(0)
     a, b = rng.getrandbits(256), rng.getrandbits(256)
     acts = [{"op": op, "a": a, "b": b} for op in binary.OPS]
-    got = binary.results(acts)
-    assert got[0] == a & b and got[1] == a | b and got[2] == a ^ b
-    assert got[3] == (a + b) & M256 and got[4] == (a - b) % (1 << 256)
-    assert got[5] == (1 if a < b else 0) and got[6] == (1 if a == b else 0)
+    got = dict(zip(binary.OPS, binary.results(acts)))
+    assert got["AND"] == a & b and got["OR"] == a | b and got["XOR"] == a ^ b
+    assert got["ADD"] == (a + b) & M256 and got["SUB"] == (a - b) % (1 << 256)
+    assert got["LT"] == (1 if a < b else 0)
+    assert got["EQ"] == (1 if a == b else 0)
+    sa = a - (1 << 256) if a >> 255 else a
+    sb = b - (1 << 256) if b >> 255 else b
+    assert got["SLT"] == (1 if sa < sb else 0)
+    # SLT sign semantics on small operands
+    neg_one = (1 << 256) - 1
+    assert binary.result("SLT", neg_one, 1)[0] == 1   # -1 < 1
+    assert binary.result("SLT", 1, neg_one)[0] == 0
+    assert binary.result("LT", neg_one, 1)[0] == 0    # unsigned flips
 
 
 def test_binary_trace_satisfies_air():

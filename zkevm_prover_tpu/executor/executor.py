@@ -48,7 +48,7 @@ _SM_MODULES = {"binary": binary, "memory": memory, "arith": arith,
 # per-SM trace degree — the reference fixes one N = 2^23 for all SMs; with
 # per-SM STARK instances each machine gets the smallest domain that fits its
 # lookup tables (binary's nibble-semantics table needs 2816 rows)
-DEFAULT_BITS = {"binary": 12, "memory": 9, "arith": 9, "mem_align": 9,
+DEFAULT_BITS = {"binary": 13, "memory": 9, "arith": 9, "mem_align": 9,
                 "poseidon_g": 9, "padding_pg": 9, "climb_key": 10,
                 "main": 9, "storage": 9, "padding_kk": 11}
 
@@ -68,10 +68,10 @@ class Executor:
 
     def binary_slice_bits(self) -> int:
         """Largest slice width whose semantics table fits the binary domain
-        (11·4^s rows): 4-bit nibbles from 2^12 up, 2-bit below."""
+        (28·4^s rows): 4-bit nibbles from 2^13 up, 2-bit below."""
         n = 1 << self.n_bits["binary"]
         s = 1
-        while 11 * (4 ** (s + 1)) <= n and s < 4:
+        while 28 * (4 ** (s + 1)) <= n and s < 4:
             s += 1
         return s
 

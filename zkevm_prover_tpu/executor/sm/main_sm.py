@@ -80,6 +80,7 @@ BOUND_FLAG_COLS = [
     ("useJmpAddr", "useJmpAddr"), ("useElseAddr", "useElseAddr"),
     ("useCTX", "useCTX"), ("isStack", "isStack"), ("isMem", "isMem"),
     ("mOp", "mOp"), ("mWR", "mWR"), ("ASSERT", "assert_"),
+    ("BIN", "bin"), ("BINOP", "binOpcode"),
     ("jmpAddr", "jmpAddr"), ("elseAddr", "elseAddr"),
     ("OFFSET", "offset"), ("IND", "ind"), ("INDRR", "indRR"),
     ("INCSTACK", "incStack"),
@@ -565,13 +566,7 @@ class MainExecutor:
                 if _fea8_to_scalar_strict(op, step, zk_pc, ln) != res:
                     raise ExecutorError(f"bin {opname} result mismatch",
                                         step, zk_pc, ln)
-                if opname == "SLT":
-                    # SLT(a,b) == LT(a^2^255, b^2^255): prove the flipped pair
-                    actions.binary.append({"op": "LT",
-                                           "a": a ^ (1 << 255),
-                                           "b": bb ^ (1 << 255)})
-                else:
-                    actions.binary.append({"op": opname, "a": a, "b": bb})
+                actions.binary.append({"op": opname, "a": a, "b": bb})
                 counters["binary"] += 1
             row[col["CARRY"]] = carry
 
