@@ -81,6 +81,7 @@ BOUND_FLAG_COLS = [
     ("useCTX", "useCTX"), ("isStack", "isStack"), ("isMem", "isMem"),
     ("mOp", "mOp"), ("mWR", "mWR"), ("ASSERT", "assert_"),
     ("BIN", "bin"), ("BINOP", "binOpcode"),
+    ("SRD", "sRD"), ("SWR", "sWR"),
     ("jmpAddr", "jmpAddr"), ("elseAddr", "elseAddr"),
     ("OFFSET", "offset"), ("IND", "ind"), ("INDRR", "indRR"),
     ("INCSTACK", "incStack"),
@@ -112,6 +113,7 @@ def columns(n_bits: int) -> list[str]:
         + CONST_COLS
         + ["ADDR", "CARRY", "ISNEG", "ISOPZ", "OP0INV", "RCXINV",
            "ISRCXNZ", "STAY", "DOJMP", "INCHASHPOS"]
+        + [f"KI{j}" for j in range(4)] + [f"KEY{j}" for j in range(4)]
         + [f"JMPN_CH{j}" for j in range(k)]
     )
 
@@ -475,7 +477,12 @@ class MainExecutor:
             if ln.sRD or ln.sWR:
                 if smt is None:
                     raise ExecutorError("storage op without smt", step, zk_pc, ln)
-                key = self._smt_key(regs8, poseidon)
+                ki, key, kin0, kin1 = self._smt_key_full(regs8, poseidon)
+                for j in range(4):
+                    row[col[f"KI{j}"]] = ki[j]
+                    row[col[f"KEY{j}"]] = key[j]
+                actions.poseidon_g.append({"state": kin0})
+                actions.poseidon_g.append({"state": kin1})
                 old_root = _fea8_to_fe4(regs8["SR"])
                 if ln.sRD:
                     res = smt.get(old_root, key)
@@ -676,13 +683,19 @@ class MainExecutor:
     # ------------------------------------------------------------------
 
     def _smt_key(self, regs8, poseidon):
+        return self._smt_key_full(regs8, poseidon)[1]
+
+    def _smt_key_full(self, regs8, poseidon):
         """Storage key = Poseidon(A0..A5,B0,B1 | Poseidon(C | 0))
-        (main_executor.cpp:1080-1140)."""
+        (main_executor.cpp:1080-1140). Returns (ki, key, kin0, kin1) — the
+        intermediate hash and both permutation inputs, which the trace
+        commits (sKeyI/sKey pols) and binds to PoseidonG."""
         kin0 = [regs8["C"][l] for l in range(8)] + [0, 0, 0, 0]
         h0 = poseidon.permute(kin0)[:4]
         kin1 = [regs8["A"][l] for l in range(6)] \
             + [regs8["B"][0], regs8["B"][1]] + list(h0)
-        return tuple(poseidon.permute(kin1)[:4])
+        return (tuple(h0), tuple(poseidon.permute(kin1)[:4]),
+                kin0, kin1)
 
     def _hash_write(self, pool, addr, op, scal, regs8, ln, one_byte,
                     step, zk_pc):

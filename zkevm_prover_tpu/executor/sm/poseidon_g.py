@@ -97,6 +97,22 @@ def build_air(n_bits: int) -> AIR:
     t = air.committed(*[f"T{j}" for j in range(W)])
     sb = air.committed(*[f"SB{j}" for j in range(W)])
     add_permutation_constraints(air, s, t, sb, n)
+
+    # interface: IN_j holds the group's input state on every row, so the
+    # output row (row 30, where S is the final state) exposes the full
+    # (input, hash) tuple {IN0..11, S0..3} for cross-SM lookups — the role
+    # of the reference's hash0/hash1-latch readout in storage.pil
+    inp = air.committed(*[f"IN{j}" for j in range(W)])
+    gs = np.zeros(n, dtype=np.uint64)
+    gs[::GROUP] = 1
+    GS = air.constant("GS", gs)
+    gout = np.zeros(n, dtype=np.uint64)
+    gout[ROUNDS::GROUP] = 1
+    air.constant("GOUT", gout)
+    GSp = ex.Const(GS.id, True)
+    for j in range(W):
+        air.require_zero(GS * (inp[j] - s[j]))
+        air.require_zero((1 - GSp) * (ex.Cm(inp[j].id, True) - inp[j]))
     return air
 
 
@@ -107,7 +123,7 @@ def execute(actions: list[dict], n_bits: int) -> np.ndarray:
     constant columns are periodic, so every group must satisfy the round
     identities (the reference pads PoseidonG the same way)."""
     n = 1 << n_bits
-    tr = np.zeros((n, 3 * W), dtype=np.uint64)
+    tr = np.zeros((n, 4 * W), dtype=np.uint64)
     assert len(actions) * GROUP <= n
     C = pc.round_constants()
     M = pc.mds_matrix()
@@ -118,6 +134,7 @@ def execute(actions: list[dict], n_bits: int) -> np.ndarray:
         st = [int(v) % P for v in act["state"]]
         assert len(st) == W
         base = a_idx * GROUP
+        tr[base:base + GROUP, 3 * W:] = st  # IN held through the group
         for r in range(ROUNDS):
             x = [(st[j] + C[r * W + j]) % P for j in range(W)]
             cube = [pow(v, 3, P) for v in x]
@@ -126,7 +143,7 @@ def execute(actions: list[dict], n_bits: int) -> np.ndarray:
                 out_sb = sbox
             else:
                 out_sb = [sbox[0]] + x[1:]
-            tr[base + r] = st + cube + out_sb
+            tr[base + r, :3 * W] = st + cube + out_sb
             st = [
                 sum(M[i][j] * out_sb[j] for j in range(W)) % P
                 for i in range(W)

@@ -55,7 +55,7 @@ COLS = (
     + [f"VLOW{j}" for j in range(4)] + [f"VHIGH{j}" for j in range(4)]
     + [f"ANROOT{j}" for j in range(4)]   # action-level new root, held
     + ["OACT", "NACT", "OLEAF", "NLEAF", "FOUNDO", "FOUNDN",
-       "SAME", "LAST", "START", "CHAIN"]
+       "ONODE", "NNODE", "SAME", "LAST", "START", "CHAIN"]
 )
 
 
@@ -72,7 +72,7 @@ def build_air(n_bits: int) -> AIR:
     NL = 1 - c["LAST"]  # gates every within-action transition
 
     for f in ("BIT", "OACT", "NACT", "OLEAF", "NLEAF", "FOUNDO", "FOUNDN",
-              "SAME", "LAST", "START", "CHAIN",
+              "ONODE", "NNODE", "SAME", "LAST", "START", "CHAIN",
               "LSEL0", "LSEL1", "LSEL2", "LSEL3"):
         air.require_zero(c[f] * (1 - c[f]))
 
@@ -139,6 +139,17 @@ def build_air(n_bits: int) -> AIR:
             c["NLEAF"] * c["FOUNDN"] * (c[f"NL{j}"] - c[f"RKEY{j}"]))
     air.require_zero(c["FOUNDO"] * (1 - c["OLEAF"]))
     air.require_zero(c["FOUNDN"] * (1 - c["NLEAF"]))
+
+    # ONODE/NNODE flag rows that carry a node preimage; an active row
+    # without one can only be a zero subtree (its root is pinned to zero),
+    # so the node-hash lookups in the combined AIR cover every real node
+    air.require_zero(c["ONODE"] * (1 - c["OACT"]))
+    air.require_zero(c["NNODE"] * (1 - c["NACT"]))
+    for j in range(4):
+        air.require_zero((c["OACT"] - c["ONODE"]) * c[f"OROOT{j}"])
+        air.require_zero((c["NACT"] - c["NNODE"]) * c[f"NROOT{j}"])
+    air.require_zero(c["OLEAF"] * (1 - c["ONODE"]))
+    air.require_zero(c["NLEAF"] * (1 - c["NNODE"]))
 
     # cross-action root chaining: new_root of this action = old_root of the
     # next (CHAIN set on LAST rows of chained sequences). The action's
@@ -239,6 +250,7 @@ def execute(actions: list[dict], n_bits: int, db) -> tuple[np.ndarray, dict]:
                 for j in range(4):
                     t[ci[f"{prefix}ROOT{j}"]] = r[j]
                 if node is not None:
+                    t[ci[f"{prefix}NODE"]] = 1
                     for j in range(4):
                         t[ci[f"{prefix}L{j}"]] = node[j]
                         t[ci[f"{prefix}R{j}"]] = node[4 + j]
@@ -246,6 +258,8 @@ def execute(actions: list[dict], n_bits: int, db) -> tuple[np.ndarray, dict]:
                     if is_leaf and tuple(node[0:4]) == tuple(
                             (rkey[j]) % P for j in range(4)):
                         t[ci[f"FOUND{prefix}"]] = 1
+                    if prefix == "N" and same:
+                        continue  # identical walk: O already emitted it
                     cap = CAP_LEAF if is_leaf else ZERO4
                     emitted["poseidon_g"].append(
                         {"state": list(node[:8]) + list(cap)})
