@@ -124,8 +124,134 @@ def _make_kernel(exps: np.ndarray, half: int, rp: int, n_rounds: int):
     return kernel
 
 
-@functools.lru_cache(maxsize=2)
-def _permute_call(source: str, interpret: bool):
+def _make_kernel_2d(exps_row: np.ndarray, half: int, rp: int,
+                    n_rounds: int):
+    """Whole-state (12, TB) formulation — one VPU op covers all rows.
+
+    The 1-D kernel drives each of the 12 state rows as a separate (TB,)
+    vector, using 1/8 of the VPU's sublane parallelism. Here the state is
+    a single (12, TB) tile and the circulant MDS becomes 12 uniform-shift
+    terms over sublane-rotated copies (out_i = Σ_k 2^{e_k}·s_{(i+k)%12},
+    realized as static slices of the doubled state), so the MDS costs 12
+    vector ops instead of 144 and the S-box runs on the full tile.
+    """
+    e0 = [int(v) for v in exps_row]
+
+    def kernel(lo_ref, hi_ref, clo_ref, chi_ref, olo_ref, ohi_ref):
+        CLO = pltpu.bitcast(clo_ref[:], jnp.int32)   # (12, 32)
+        CHI = pltpu.bitcast(chi_ref[:], jnp.int32)
+
+        def one_hot(col: int):
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, ROUND_PAD), 1)
+            return jnp.where(lane == col, np.int32(1), np.int32(0))
+
+        def body(partial: bool):
+            def run(_r, carry):
+                oh, lo, hi = carry
+                cl = pltpu.bitcast(
+                    jnp.sum(CLO * oh, axis=1, keepdims=True,
+                            dtype=jnp.int32), jnp.uint32)
+                ch = pltpu.bitcast(
+                    jnp.sum(CHI * oh, axis=1, keepdims=True,
+                            dtype=jnp.int32), jnp.uint32)
+                lo, hi = g32.add_gl(lo, hi, cl, ch)
+                if partial:
+                    l0, h0 = _sbox7(lo[0:1], hi[0:1])
+                    lo = jnp.concatenate([l0, lo[1:]], axis=0)
+                    hi = jnp.concatenate([h0, hi[1:]], axis=0)
+                else:
+                    lo, hi = _sbox7(lo, hi)
+                ssl = jnp.concatenate([lo, lo], axis=0)   # (24, TB)
+                ssh = jnp.concatenate([hi, hi], axis=0)
+                zero = jnp.zeros_like(lo)
+                a0 = a1 = a2 = zero
+                for k in range(WIDTH):
+                    r0, r1, r2, _ = g32.shift_gl(
+                        ssl[k:k + WIDTH], ssh[k:k + WIDTH], e0[k])
+                    a0, a1, a2 = _acc3_add(a0, a1, a2, r0, r1, r2)
+                lo, hi = g32.reduce128(a0, a1, a2, zero)
+                return pltpu.roll(oh, np.int32(1), axis=1), lo, hi
+
+            return run
+
+        lo = lo_ref[:, :]
+        hi = hi_ref[:, :]
+        oh, lo, hi = jax.lax.fori_loop(0, half, body(False),
+                                       (one_hot(0), lo, hi))
+        oh, lo, hi = jax.lax.fori_loop(half, half + rp, body(True),
+                                       (oh, lo, hi))
+        _, lo, hi = jax.lax.fori_loop(half + rp, n_rounds, body(False),
+                                      (oh, lo, hi))
+        olo_ref[:, :] = lo
+        ohi_ref[:, :] = hi
+
+    return kernel
+
+
+def _make_kernel_blocked(exps: np.ndarray, half: int, rp: int,
+                         n_rounds: int, lanes: int):
+    """Row-list structure with each state row an aligned (8, lanes) block.
+
+    The (TB,) row vectors of the 1-D kernel occupy one sublane out of 8
+    per VPU tile; the (12, TB) whole-state kernel fixes utilization but
+    pays sublane relayouts for the circulant slices. Here the batch is
+    folded onto sublanes host-side — refs are (96, lanes) with row j at
+    the aligned sublane slice [8j, 8j+8) — so every op runs on full
+    (8, 128) tiles and no relayout is ever needed.
+    """
+
+    def kernel(lo_ref, hi_ref, clo_ref, chi_ref, olo_ref, ohi_ref):
+        CLO = pltpu.bitcast(clo_ref[:], jnp.int32)   # (12, 32)
+        CHI = pltpu.bitcast(chi_ref[:], jnp.int32)
+
+        def one_hot(col: int):
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, ROUND_PAD), 1)
+            return jnp.where(lane == col, np.int32(1), np.int32(0))
+
+        def body(partial: bool):
+            def run(_r, carry):
+                oh, lo, hi = carry
+                cl = pltpu.bitcast(
+                    jnp.sum(CLO * oh, axis=1, keepdims=True,
+                            dtype=jnp.int32), jnp.uint32)
+                ch = pltpu.bitcast(
+                    jnp.sum(CHI * oh, axis=1, keepdims=True,
+                            dtype=jnp.int32), jnp.uint32)
+                lo = list(lo)
+                hi = list(hi)
+                for j in range(WIDTH):
+                    lo[j], hi[j] = g32.add_gl(lo[j], hi[j],
+                                              cl[j:j + 1], ch[j:j + 1])
+                rows = (0,) if partial else range(WIDTH)
+                for j in rows:
+                    lo[j], hi[j] = _sbox7(lo[j], hi[j])
+                lo, hi = _mds_rows(lo, hi, exps)
+                return (pltpu.roll(oh, np.int32(1), axis=1),
+                        tuple(lo), tuple(hi))
+
+            return run
+
+        lo0 = [lo_ref[8 * j:8 * j + 8, :] for j in range(WIDTH)]
+        hi0 = [hi_ref[8 * j:8 * j + 8, :] for j in range(WIDTH)]
+        oh, lo, hi = jax.lax.fori_loop(0, half, body(False),
+                                       (one_hot(0), tuple(lo0), tuple(hi0)))
+        oh, lo, hi = jax.lax.fori_loop(half, half + rp, body(True),
+                                       (oh, lo, hi))
+        _, lo, hi = jax.lax.fori_loop(half + rp, n_rounds, body(False),
+                                      (oh, lo, hi))
+        for j in range(WIDTH):
+            olo_ref[8 * j:8 * j + 8, :] = lo[j]
+            ohi_ref[8 * j:8 * j + 8, :] = hi[j]
+
+    return kernel
+
+
+MODE = "blocked"   # "1d" | "2d" | "blocked"
+BLOCK_LANES = 2048  # lanes per grid step in blocked mode (16384 states)
+
+
+@functools.lru_cache(maxsize=4)
+def _permute_call(source: str, interpret: bool, mode: str = "1d"):
     exps = pgl._mds_shifts(source)
     if exps is None:
         return None  # generic MDS: no pallas path
@@ -134,8 +260,46 @@ def _permute_call(source: str, interpret: bool):
     cpad[:, : pc.N_ROUNDS] = C.T
     clo = (cpad & 0xFFFFFFFF).astype(np.uint32)
     chi = (cpad >> 32).astype(np.uint32)
-    kernel = _make_kernel(np.asarray(exps), pc.ROUNDS_F // 2,
-                          pc.ROUNDS_P, pc.N_ROUNDS)
+    if mode == "blocked":
+        kernel = _make_kernel_blocked(np.asarray(exps), pc.ROUNDS_F // 2,
+                                      pc.ROUNDS_P, pc.N_ROUNDS,
+                                      BLOCK_LANES)
+
+        def run(lo, hi):  # (96, B/8) u32 each, (B/8) % BLOCK_LANES == 0
+            cols = lo.shape[1]
+            grid = (cols // BLOCK_LANES,)
+            spec = pl.BlockSpec((8 * WIDTH, BLOCK_LANES),
+                                lambda i: (i * 0, i),
+                                memory_space=pltpu.VMEM)
+            cspec = pl.BlockSpec((WIDTH, ROUND_PAD),
+                                 lambda i: (i * 0, i * 0),
+                                 memory_space=pltpu.VMEM)
+            out_shape = (
+                jax.ShapeDtypeStruct((8 * WIDTH, cols), jnp.uint32),
+                jax.ShapeDtypeStruct((8 * WIDTH, cols), jnp.uint32),
+            )
+            return pl.pallas_call(
+                kernel, grid=grid,
+                in_specs=[spec, spec, cspec, cspec],
+                out_specs=(
+                    pl.BlockSpec((8 * WIDTH, BLOCK_LANES),
+                                 lambda i: (i * 0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((8 * WIDTH, BLOCK_LANES),
+                                 lambda i: (i * 0, i),
+                                 memory_space=pltpu.VMEM),
+                ),
+                out_shape=out_shape,
+                interpret=interpret,
+            )(lo, hi, jnp.asarray(clo), jnp.asarray(chi))
+
+        return run
+    if mode == "2d":
+        kernel = _make_kernel_2d(np.asarray(exps)[0], pc.ROUNDS_F // 2,
+                                 pc.ROUNDS_P, pc.N_ROUNDS)
+    else:
+        kernel = _make_kernel(np.asarray(exps), pc.ROUNDS_F // 2,
+                              pc.ROUNDS_P, pc.N_ROUNDS)
 
     def run(lo, hi):  # (12, B) u32 each, B % TB == 0
         b = lo.shape[1]
@@ -166,13 +330,13 @@ def _permute_call(source: str, interpret: bool):
 
 
 def available() -> bool:
-    return _permute_call(pc.source(), False) is not None
+    return _permute_call(pc.source(), False, MODE) is not None
 
 
 def permute(states, *, interpret: bool = False):
     """Poseidon permutation of (H, 12) uint64 states via the Pallas kernel."""
     h = states.shape[0]
-    pad = (-h) % TB
+    pad = (-h) % (8 * BLOCK_LANES if MODE == "blocked" else TB)
     x = states
     if pad:
         x = jnp.concatenate(
@@ -180,8 +344,17 @@ def permute(states, *, interpret: bool = False):
         )
     xt = x.T  # (12, H+pad)
     lo, hi = g32.split_u64(xt)
-    run = _permute_call(pc.source(), interpret)
+    run = _permute_call(pc.source(), interpret, MODE)
     assert run is not None, "pallas path requires the power-of-two MDS"
-    olo, ohi = run(lo, hi)
+    if MODE == "blocked":
+        # fold the batch onto sublanes: (12, B) -> (12, 8, B/8) -> (96, B/8)
+        b = lo.shape[1]
+        lo = lo.reshape(WIDTH * 8, b // 8)
+        hi = hi.reshape(WIDTH * 8, b // 8)
+        olo, ohi = run(lo, hi)
+        olo = olo.reshape(WIDTH, b)
+        ohi = ohi.reshape(WIDTH, b)
+    else:
+        olo, ohi = run(lo, hi)
     out = g32.join_u64(olo, ohi).T
     return out[:h]
