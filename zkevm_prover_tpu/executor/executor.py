@@ -16,7 +16,7 @@ from ..stark.prover import StarkProver
 from ..stark.setup import StarkSetup
 from ..stark.verifier import verify
 from .sm import (arith, binary, climb_key, mem_align, memory, padding_kk,
-                 padding_pg, storage)
+                 padding_pg, padding_sha256, storage)
 
 
 @dataclasses.dataclass
@@ -43,14 +43,16 @@ from .sm import poseidon_g  # noqa: E402
 _SM_MODULES = {"binary": binary, "memory": memory, "arith": arith,
                "mem_align": mem_align, "poseidon_g": poseidon_g,
                "padding_pg": padding_pg, "climb_key": climb_key,
-               "storage": storage, "padding_kk": padding_kk}
+               "storage": storage, "padding_kk": padding_kk,
+               "padding_sha256": padding_sha256}
 
 # per-SM trace degree — the reference fixes one N = 2^23 for all SMs; with
 # per-SM STARK instances each machine gets the smallest domain that fits its
 # lookup tables (binary's nibble-semantics table needs 2816 rows)
 DEFAULT_BITS = {"binary": 13, "memory": 9, "arith": 9, "mem_align": 9,
                 "poseidon_g": 9, "padding_pg": 9, "climb_key": 10,
-                "main": 9, "storage": 9, "padding_kk": 11}
+                "main": 9, "storage": 9, "padding_kk": 11,
+                "padding_sha256": 11}
 
 
 class Executor:
@@ -108,6 +110,10 @@ class Executor:
             # dedicated keccak_f module rather than per-batch here
             out["padding_kk"], _, _ = padding_kk.execute(
                 actions.keccak, self.n_bits["padding_kk"])
+        if actions.sha256:
+            # same split: Sha256F proves the compressions at its own domain
+            out["padding_sha256"], _, _ = padding_sha256.execute(
+                actions.sha256, self.n_bits["padding_sha256"])
         if actions.binary:
             out["binary"] = binary.execute(
                 actions.binary, self.n_bits["binary"], self.binary_slice_bits()

@@ -30,9 +30,20 @@ from ...ops.keccak import _RC, _ROT
 
 XOR = 0
 ANDP = 1
+AND = 2   # used by the SHA-256 circuit (keccak needs only XOR/ANDP)
 
 # wire reference: (column, row) with columns 0=a, 1=b, 2=c
 A, B, C = 0, 1, 2
+
+
+def gate_eval(op: int, a: int, b: int, mask: int) -> int:
+    if op == XOR:
+        return a ^ b
+    if op == ANDP:
+        return (a ^ mask) & b
+    if op == AND:
+        return a & b
+    raise ValueError(op)
 
 
 @dataclasses.dataclass
@@ -40,11 +51,14 @@ class Circuit:
     ops: np.ndarray          # (n_rows,) gate op per row
     a_src: list              # (col, row) source wire of each row's a
     b_src: list              # source wire of each row's b
-    inputs: list             # 1600 rows whose a-position takes state bits
-    outputs: list            # 1600 (col, row) wires of the final state
+    inputs: list             # rows whose a-position takes input bits
+    outputs: list            # (col, row) wires of the final state
     one: tuple               # the all-ones wire position
     zero: tuple              # the all-zeros wire position
     rounds: int
+    in_words: int = 25       # input layout: words × word_bits bits
+    word_bits: int = 64
+    out_words: int = 25
 
     @property
     def n_rows(self) -> int:
@@ -133,70 +147,32 @@ def build(rounds: int = 24) -> Circuit:
                    one=one, zero=zero, rounds=rounds)
 
 
-def evaluate(circ: Circuit, states: np.ndarray, pack: int) -> np.ndarray:
-    """Run the circuit on up to `pack` bit-sliced instances.
-
-    states: (k, 25) uint64 lane arrays, k <= pack. Returns (k, 25) outputs.
-    Used by the SM's execute() and as the oracle for tests.
-    """
+def _pack_inputs(circ: Circuit, states: np.ndarray, pack: int) -> dict:
+    """Bit-slice k instances: element for input bit (word i, bit z) packs
+    that bit of every instance into lanes 0..k-1."""
     k = states.shape[0]
     assert k <= pack
-    mask = (1 << pack) - 1
-
-    # packed input bits: element for bit (i, z) = sum_j bit·2^j over instances
-    vals = np.zeros((circ.n_rows, 3), dtype=object)
-    vals[0][A] = mask
-    bit_idx = 0
     packed_in = {}
-    for i in range(25):
-        for z in range(64):
+    bit_idx = 0
+    for i in range(circ.in_words):
+        for z in range(circ.word_bits):
             v = 0
             for j in range(k):
                 v |= ((int(states[j, i]) >> z) & 1) << j
             packed_in[circ.inputs[bit_idx]] = v
             bit_idx += 1
-
-    def read(src, row):
-        col, r = src
-        if col == A and r == row:     # input self-reference
-            return vals[r][A]
-        return vals[r][col]
-
-    for row in range(circ.n_rows):
-        if row in packed_in:
-            vals[row][A] = packed_in[row]
-        else:
-            vals[row][A] = read(circ.a_src[row], row)
-        vals[row][B] = read(circ.b_src[row], row)
-        op = int(circ.ops[row])
-        a, b = vals[row][A], vals[row][B]
-        vals[row][C] = (a ^ b) if op == XOR else ((a ^ mask) & b)
-
-    out = np.zeros((k, 25), dtype=np.uint64)
-    for i in range(25):
-        for z in range(64):
-            col, r = circ.outputs[i * 64 + z]
-            v = vals[r][col]
-            for j in range(k):
-                out[j, i] |= np.uint64(((v >> j) & 1) << z)
-    return out
+    return packed_in
 
 
 def wire_values(circ: Circuit, states: np.ndarray, pack: int) -> np.ndarray:
-    """Full (n_rows, 3) packed wire assignment — the SM trace payload."""
-    k = states.shape[0]
+    """Full (n_rows, 3) packed wire assignment — the SM trace payload.
+
+    states: (k, in_words) word arrays, k <= pack.
+    """
     mask = (1 << pack) - 1
     vals = np.zeros((circ.n_rows, 3), dtype=object)
     vals[0][A] = mask
-    packed_in = {}
-    bit_idx = 0
-    for i in range(25):
-        for z in range(64):
-            v = 0
-            for j in range(k):
-                v |= ((int(states[j, i]) >> z) & 1) << j
-            packed_in[circ.inputs[bit_idx]] = v
-            bit_idx += 1
+    packed_in = _pack_inputs(circ, states, pack)
     for row in range(circ.n_rows):
         if row in packed_in:
             vals[row][A] = packed_in[row]
@@ -205,6 +181,23 @@ def wire_values(circ: Circuit, states: np.ndarray, pack: int) -> np.ndarray:
         sb = circ.b_src[row]
         vals[row][B] = vals[sb[1]][sb[0]]
         a, b = vals[row][A], vals[row][B]
-        vals[row][C] = (a ^ b) if int(circ.ops[row]) == XOR else \
-            ((a ^ mask) & b)
+        vals[row][C] = gate_eval(int(circ.ops[row]), a, b, mask)
     return vals
+
+
+def evaluate(circ: Circuit, states: np.ndarray, pack: int) -> np.ndarray:
+    """Run the circuit on up to `pack` bit-sliced instances.
+
+    states: (k, in_words) word arrays. Returns (k, out_words) outputs.
+    Used by the SM's execute() and as the oracle for tests.
+    """
+    k = states.shape[0]
+    vals = wire_values(circ, states, pack)
+    out = np.zeros((k, circ.out_words), dtype=np.uint64)
+    for i in range(circ.out_words):
+        for z in range(circ.word_bits):
+            col, r = circ.outputs[i * circ.word_bits + z]
+            v = int(vals[r][col])
+            for j in range(k):
+                out[j, i] |= np.uint64(((v >> j) & 1) << z)
+    return out
