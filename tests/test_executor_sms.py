@@ -118,6 +118,44 @@ def test_arith_mul_add_and_air():
     _check("arith", arith.build_air, N_BITS, trace)
 
 
+def _secp_points():
+    # generator and 2G on secp256k1
+    gx = 0x79BE667EF9DCBBAC55A06295CE870B07029BFCDB2DCE28D959F2815B16F81798
+    gy = 0x483ADA7726A3C4655DA4FBFC0E1108A8FD17B448A68554199C47D08FFB10D4B8
+    g2x = 0xC6047F9441ED7D6D3045406E95C07CD85C778E4B8CEF3CA7ABAC09B95C709EE5
+    g2y = 0x1AE168FEA63DC339A3C58419466CEAEEF7F632653266D0E1236431A950CFE52A
+    return gx, gy, g2x, g2y
+
+
+def test_arith_ec_add_double_and_air():
+    gx, gy, g2x, g2y = _secp_points()
+    # oracle: dbl(G) == 2G, add(G, 2G) == 3G
+    x2g, y2g = arith.ec_result("dbl", gx, gy)
+    assert (x2g, y2g) == (g2x, g2y)
+    x3g, y3g = arith.ec_result("add", gx, gy, g2x, g2y)
+    g3x = 0xF9308A019258C31049344F85F89D5229B531C845836F99B08601F113BCE036F9
+    assert x3g == g3x
+
+    acts = [
+        {"op": "dbl", "x1": gx, "y1": gy},
+        {"op": "add", "x1": gx, "y1": gy, "x2": g2x, "y2": g2y},
+        {"op": "mul", "x1": 3, "y1": 5, "x2": 7},
+    ]
+    trace = arith.execute(acts, N_BITS)
+    _check("arith", arith.build_air, N_BITS, trace)
+
+    # tamper: claim a different x3 for the doubling
+    t = trace.copy()
+    t[:32, 5 * arith.L] ^= np.uint64(1)  # X3 limb 0 of the dbl group
+    prover = _prover_for("arith", arith.build_air, N_BITS)
+    assert prover.check_constraints(t) != []
+
+    # tamper: claim a different slope
+    t = trace.copy()
+    t[32:64, 6 * arith.L] ^= np.uint64(1)  # S limb 0 of the add group
+    assert prover.check_constraints(t) != []
+
+
 def test_arith_tampered_product_rejected():
     acts = [{"x1": 3, "y1": 5, "x2": 1}]
     trace = arith.execute(acts, N_BITS)

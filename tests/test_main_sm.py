@@ -208,8 +208,36 @@ def test_binary_and_arith_actions():
     rom, res = _run(with_tag)
     assert not (_col(res, "E0") == 111).any()
     assert res.actions.binary[0]["op"] == "ADD"
-    assert res.actions.arith == [{"x1": 3, "y1": 5, "x2": 1}]
+    assert res.actions.arith == [{"op": "mul", "x1": 3, "y1": 5, "x2": 1}]
     assert res.counters["binary"] == 1 and res.counters["arith"] == 1
+
+
+def test_arith_ec_ops():
+    gx = 0x79BE667EF9DCBBAC55A06295CE870B07029BFCDB2DCE28D959F2815B16F81798
+    gy = 0x483ADA7726A3C4655DA4FBFC0E1108A8FD17B448A68554199C47D08FFB10D4B8
+    g2x = 0xC6047F9441ED7D6D3045406E95C07CD85C778E4B8CEF3CA7ABAC09B95C709EE5
+
+    def reg(name):
+        return {"op": "getReg", "regName": name}
+
+    def body(rb):
+        rb.line(CONSTL=gx, setA=1)
+        rb.line(CONSTL=gy, setB=1)
+        rb.line(CONSTL=gx, setC=1)
+        rb.line(CONSTL=gy, setD=1)
+        # E = x(A,B + C,D) via the command helper, then the proven dbl
+        rb.free({"op": "functionCall", "funcName": "xDblPointEc",
+                 "params": [reg("A"), reg("B")]}, setE=1)
+        rb.line("$ => B :ARITH_ECDBL", inFREE=1, arithEq2=1, setB=1)
+        rb.line("E => A", inE=1, setA=1)
+        rb.line(CONSTL=g2x, assert_=0, setC=1)  # compare via binary EQ
+        rb.line("A - C => D", inA=1, inC=-1, setD=1)
+
+    rom, res = _run(body)
+    # E got x(2G); D = A - C must be 0
+    assert (_col(res, "D0")[9] == 0)
+    assert res.actions.arith[0]["op"] == "dbl"
+    assert res.counters["arith"] == 1
 
 
 def test_rom_json_loader():

@@ -557,7 +557,30 @@ class MainExecutor:
                 if a * bb + cc != (d << 256) + o:
                     raise ExecutorError("arithEq0 A·B+C != D·2^256+op",
                                         step, zk_pc, ln)
-                actions.arith.append({"x1": a, "y1": bb, "x2": cc})
+                actions.arith.append({"op": "mul", "x1": a, "y1": bb,
+                                      "x2": cc})
+                counters["arith"] += 1
+            elif ln.arithEq1 or ln.arithEq2:
+                # secp256k1 point add (eq1) / double (eq2):
+                # (A,B)+(C,D) = (E, op) — main_executor.cpp:3880-3975
+                from . import arith as arith_sm
+
+                x1 = _fea8_to_scalar_strict(regs8["A"], step, zk_pc, ln)
+                y1 = _fea8_to_scalar_strict(regs8["B"], step, zk_pc, ln)
+                x2 = _fea8_to_scalar_strict(regs8["C"], step, zk_pc, ln)
+                y2 = _fea8_to_scalar_strict(regs8["D"], step, zk_pc, ln)
+                x3 = _fea8_to_scalar_strict(regs8["E"], step, zk_pc, ln)
+                y3 = _fea8_to_scalar_strict(op, step, zk_pc, ln)
+                kind = "add" if ln.arithEq1 else "dbl"
+                if kind == "add" and x1 == x2:
+                    raise ExecutorError("arithEq1 with x1 == x2",
+                                        step, zk_pc, ln)
+                ex3, ey3 = arith_sm.ec_result(kind, x1, y1, x2, y2)
+                if (x3, y3) != (ex3, ey3):
+                    raise ExecutorError(
+                        f"arith {kind} result mismatch", step, zk_pc, ln)
+                actions.arith.append({"op": kind, "x1": x1, "y1": y1,
+                                      "x2": x2, "y2": y2})
                 counters["arith"] += 1
 
             # ---- binary --------------------------------------------------
@@ -806,6 +829,16 @@ class MainExecutor:
             bb = _fea8_to_scalar_strict(regs8["B"], step, zk_pc, ln)
             cc = _fea8_to_scalar_strict(regs8["C"], step, zk_pc, ln)
             return _scalar_to_fea8((a * bb + cc) & MASK256)
+        if ln.arithEq1 or ln.arithEq2:
+            from . import arith as arith_sm
+
+            x1 = _fea8_to_scalar_strict(regs8["A"], step, zk_pc, ln)
+            y1 = _fea8_to_scalar_strict(regs8["B"], step, zk_pc, ln)
+            x2 = _fea8_to_scalar_strict(regs8["C"], step, zk_pc, ln)
+            y2 = _fea8_to_scalar_strict(regs8["D"], step, zk_pc, ln)
+            kind = "add" if ln.arithEq1 else "dbl"
+            return _scalar_to_fea8(
+                arith_sm.ec_result(kind, x1, y1, x2, y2)[1])
         raise ExecutorError("inFREE without tag or flag source",
                             step, zk_pc, ln)
 
