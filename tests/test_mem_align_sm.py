@@ -86,3 +86,45 @@ def test_prove_verify_roundtrip():
     p = _prover()
     proof = p.prove(tr)
     assert verify(p.setup, p.verkey, proof)
+
+
+def test_write_semantics_and_air():
+    import numpy as np
+
+    rng = random.Random(3)
+    w0, w1 = rng.getrandbits(256), rng.getrandbits(256)
+    val = rng.getrandbits(256)
+    acts = [
+        {"op": "wr", "w0": w0, "w1": w1, "offset": 5, "value": val},
+        {"op": "wr8", "w0": w0, "w1": w1, "offset": 40, "value": val},
+        {"op": "rd", "w0": w0, "w1": w1, "offset": 9},
+        {"op": "wr", "w0": w0, "w1": w1, "offset": 32, "value": val},
+    ]
+    tr, results = mem_align.execute(acts, N_BITS)
+    # oracle checks
+    nw0, nw1 = results[0]
+    window = w0 | (w1 << 256)
+    exp = window
+    for k in range(32):
+        exp = (exp & ~(0xFF << (8 * (5 + k)))) \
+            | (((val >> (8 * k)) & 0xFF) << (8 * (5 + k)))
+    assert (nw0, nw1) == (exp & ((1 << 256) - 1), exp >> 256)
+    nw0, nw1 = results[1]
+    exp8 = (window & ~(0xFF << (8 * 40))) | ((val & 0xFF) << (8 * 40))
+    assert (nw0, nw1) == (exp8 & ((1 << 256) - 1), exp8 >> 256)
+
+    bad = _prover().check_constraints(tr)
+    assert bad == [], f"violated: {bad}"
+
+    # tamper: flip an output byte inside the written span
+    t = tr.copy()
+    bo_col = 2 + 3 * mem_align.N_LIMB
+    t[7, bo_col] ^= np.uint64(1)   # window row 7 of the wr group (in-span)
+    assert _prover().check_constraints(t) != []
+
+    # tamper: pretend the span started one byte later (INS shifted)
+    t = tr.copy()
+    ins_col = bo_col + 1
+    t[5, ins_col] = np.uint64(0)
+    t[37, ins_col] = np.uint64(1)
+    assert _prover().check_constraints(t) != []

@@ -601,13 +601,40 @@ class MainExecutor:
             row[col["CARRY"]] = carry
 
             # ---- memAlign ------------------------------------------------
-            if ln.memAlignRD:
+            # register convention (main_executor.cpp:4484-4620): A=m0, B=m1,
+            # C=offset; reads put the value in op; writes take the value
+            # from op and the new window from D (w0') and E (w1').
+            # The SM's window is little-endian (w0 low), so the big-endian
+            # m0||m1 maps as {w0: m1, w1: m0, offset: 32-off}.
+            if ln.memAlignRD or ln.memAlignWR or ln.memAlignWR8:
                 m0 = _fea8_to_scalar_strict(regs8["A"], step, zk_pc, ln)
                 m1 = _fea8_to_scalar_strict(regs8["B"], step, zk_pc, ln)
                 off = _fea8_to_scalar_strict(regs8["C"], step, zk_pc, ln)
                 if off > 32:
                     raise ExecutorError(f"memAlign offset {off}", step, zk_pc, ln)
-                actions.mem_align.append({"w0": m0, "w1": m1, "offset": off})
+                if ln.memAlignRD:
+                    actions.mem_align.append(
+                        {"op": "rd", "w0": m1, "w1": m0, "offset": 32 - off})
+                else:
+                    from . import mem_align as ma_sm
+
+                    val = _fea8_to_scalar_strict(op, step, zk_pc, ln)
+                    w0n = _fea8_to_scalar_strict(regs8["D"], step, zk_pc, ln)
+                    w1n = _fea8_to_scalar_strict(regs8["E"], step, zk_pc, ln)
+                    kind = "wr" if ln.memAlignWR else "wr8"
+                    # value bytes: big-endian slice -> little-endian window;
+                    # LE start of the written span is 64 - off - span
+                    span = 32 if kind == "wr" else 1
+                    v_le = int.from_bytes(
+                        val.to_bytes(32, "big")[-span:], "little")
+                    act = {"op": kind, "w0": m1, "w1": m0,
+                           "offset": 64 - off - span, "value": v_le}
+                    nw_lo, nw_hi = ma_sm.result(act)
+                    if (nw_lo, nw_hi) != (w1n, w0n):
+                        raise ExecutorError(
+                            f"memAlign {kind} result mismatch",
+                            step, zk_pc, ln)
+                    actions.mem_align.append(act)
                 counters["memAlign"] += 1
 
             # ---- control flow -------------------------------------------
