@@ -292,6 +292,15 @@ def _air_program():
     rb.label("nz")
     rb.line(CONST=999, setB=1)   # not reached via else (op==0 jumps)
     rb.label("z")
+    # instruction counter: one arith op, then read CNT_ARITH and assert 1
+    rb.line(CONSTL=3, setA=1)
+    rb.line(CONSTL=5, setB=1)
+    rb.line(CONSTL=1, setC=1)
+    rb.line(CONSTL=0, setD=1)
+    rb.line("$ => E :ARITH", inFREE=1, arithEq0=1, setE=1)
+    rb.line("CNT_ARITH => B", inCntArith=1, setB=1)
+    rb.line(CONST=1, setA=1)
+    rb.line("B :ASSERT", inB=1, assert_=1)
     rb.clear_registers()
     rb.finalize()
     _air_rom = rb.build()

@@ -82,17 +82,34 @@ BOUND_FLAG_COLS = [
     ("mOp", "mOp"), ("mWR", "mWR"), ("ASSERT", "assert_"),
     ("BIN", "bin"), ("BINOP", "binOpcode"),
     ("SRD", "sRD"), ("SWR", "sWR"),
+    ("inCntArith", "inCntArith"), ("inCntBinary", "inCntBinary"),
+    ("inCntMemAlign", "inCntMemAlign"),
     ("jmpAddr", "jmpAddr"), ("elseAddr", "elseAddr"),
     ("OFFSET", "offset"), ("IND", "ind"), ("INDRR", "indRR"),
     ("INCSTACK", "incStack"),
 ]
 CONST_COLS = [f"CONST{l}" for l in range(8)]
 
+# instruction-count increments derived from the line's co-processor flags
+# (these join the ROM table so the counter transitions are bound)
+DERIVED_COLS = [
+    ("INCA", lambda ln: 1 if (ln.arithEq0 or ln.arithEq1 or ln.arithEq2
+                              or ln.arithEq3 or ln.arithEq4 or ln.arithEq5)
+     else 0),
+    ("INCB", lambda ln: 1 if ln.bin else 0),
+    ("INCM", lambda ln: 1 if (ln.memAlignRD or ln.memAlignWR
+                              or ln.memAlignWR8) else 0),
+]
+# counter registers with in-AIR transitions (hash counters' increments are
+# data-dependent — they stay host-tracked until the hash-side binding)
+CNT_COLS = [("CNT_ARITH", "inCntArith", "INCA"),
+            ("CNT_BINARY", "inCntBinary", "INCB"),
+            ("CNT_MEMALIGN", "inCntMemAlign", "INCM")]
+
 # ROM-line selector fields whose semantics are not yet in the AIR: a loaded
 # program may not use them for a *provable* run (the interpreter still
 # executes them for process_batch-style runs)
-UNBOUND_IN_FIELDS = ("inCntArith", "inCntBinary", "inCntMemAlign",
-                     "inCntKeccakF", "inCntSha256F", "inCntPoseidonG",
+UNBOUND_IN_FIELDS = ("inCntKeccakF", "inCntSha256F", "inCntPoseidonG",
                      "inCntPaddingPG")
 
 
@@ -114,6 +131,8 @@ def columns(n_bits: int) -> list[str]:
         + ["ADDR", "CARRY", "ISNEG", "ISOPZ", "OP0INV", "RCXINV",
            "ISRCXNZ", "STAY", "DOJMP", "INCHASHPOS"]
         + [f"KI{j}" for j in range(4)] + [f"KEY{j}" for j in range(4)]
+        + [name for name, _ in DERIVED_COLS]
+        + [name for name, _, _ in CNT_COLS]
         + [f"JMPN_CH{j}" for j in range(k)]
     )
 
@@ -132,6 +151,11 @@ def rom_table(rom: Rom, n: int) -> dict[str, np.ndarray]:
         for i, ln in enumerate(rom.lines):
             vals[i] = _const_limb(ln, l)
         t[f"CONST{l}"] = vals
+    for name, fn in DERIVED_COLS:
+        vals = np.zeros(n, dtype=np.uint64)
+        for i, ln in enumerate(rom.lines):
+            vals[i] = fn(ln)
+        t[name] = vals
     return t
 
 
@@ -166,7 +190,8 @@ def build_air(rom: Rom, n_bits: int) -> AIR:
     tbl = rom_table(rom, n)
     tcols = [air.constant(f"ROM_{k}", v) for k, v in tbl.items()]
     fcols = [c["zkPC"]] + [c[col] for col, _ in BOUND_FLAG_COLS] \
-        + [c[col] for col in CONST_COLS]
+        + [c[col] for col in CONST_COLS] \
+        + [c[name] for name, _ in DERIVED_COLS]
     air.lookup(fcols, tcols)
 
     # -- op accumulation (materialized im pols) ---------------------------
@@ -182,6 +207,8 @@ def build_air(rom: Rom, n_bits: int) -> AIR:
                 acc = acc + c[f"in{s}"] * c[s]
             acc = acc + c["inSTEP"] * STEP
             acc = acc + c["inFREE0"] * c["FREE0"]
+            for cname, insel, _ in CNT_COLS:
+                acc = acc + c[insel] * c[cname]
         air.require_zero(c[f"OP{l}"] - acc)
 
     # -- ASSERT: op == A --------------------------------------------------
@@ -268,6 +295,14 @@ def build_air(rom: Rom, n_bits: int) -> AIR:
             + (1 - c["DOJMP"]) * (c["STAY"] * c["zkPC"]
                                   + (1 - c["STAY"]) * els)))
     air.require_zero(l1 * c["zkPC"])
+
+    # -- instruction counters (reset at the wrap; reference cntArith etc.) -
+    last = np.zeros(n, dtype=np.uint64)
+    last[n - 1] = 1
+    LLAST = air.constant("__LLAST", last)
+    for cname, _, inc in CNT_COLS:
+        air.require_zero(
+            nxt(cname) - (1 - LLAST) * (c[cname] + c[inc]))
     return air
 
 
@@ -368,6 +403,7 @@ class MainExecutor:
         hash_s: dict[int, _HashState] = {}
         counters = {k: 0 for k in ("arith", "binary", "memAlign", "keccakF",
                                    "sha256F", "poseidonG", "paddingPG")}
+        cnt_regs = {name: 0 for name, _, _ in CNT_COLS}
         state_root = inp.get("oldStateRoot")
         if state_root is not None:
             regs8["SR"] = _fe4_to_fea8(state_root)
@@ -394,6 +430,10 @@ class MainExecutor:
                 row[col[cname]] = int(getattr(ln, attr)) % P
             for l in range(8):
                 row[col[f"CONST{l}"]] = _const_limb(ln, l)
+            for name, fn in DERIVED_COLS:
+                row[col[name]] = fn(ln)
+            for name, _, _ in CNT_COLS:
+                row[col[name]] = cnt_regs[name]
 
             for cmd in ln.cmd_before:
                 evc.eval_command(ctx, cmd)
@@ -414,6 +454,10 @@ class MainExecutor:
                     op[0] = (op[0] + sel * scal[s]) % P
             if ln.inSTEP:
                 op[0] = (op[0] + ln.inSTEP * step) % P
+            for name, insel, _ in CNT_COLS:
+                sel = getattr(ln, insel)
+                if sel:
+                    op[0] = (op[0] + sel * cnt_regs[name]) % P
             for l in range(8):
                 op[l] = (op[l] + _const_limb(ln, l)) % P
 
@@ -706,6 +750,9 @@ class MainExecutor:
 
             for cmd in ln.cmd_after:
                 evc.eval_command(ctx, cmd)
+
+            for (cname, _, _), (_, ifn) in zip(CNT_COLS, DERIVED_COLS):
+                cnt_regs[cname] += ifn(ln)
 
             zk_pc = next_pc
 
