@@ -41,6 +41,34 @@ def test_hashdb_service_roundtrip():
         assert client.get_program("", pkey) == b"\x60\x01"
         st = client.get_flush_status()
         assert "lastFlushId" in st
+
+        # extended surface (reference hashdb_service.cpp RPC set)
+        assert client.get_latest_state_root() == r.new_root
+        client.start_block("blk", r.new_root)
+        client.finish_block("blk", r.new_root)
+        client.purge("blk", r.new_root)
+        root2, fid, stored = client.consolidate_state(r.new_root)
+        assert root2 == r.new_root
+        entries = client.read_tree(r.new_root, [key])
+        assert entries[0]["value"] == 1234
+        data = client.get_flush_data(0)
+        assert len(data["nodes"]) > 0
+        # LoadDB round-trip into a fresh server
+        server2 = serve_hashdb(58062)
+        try:
+            client2 = HashDBClient("127.0.0.1:58062")
+            client2.load_db(data["nodes"])
+            g2 = client2.get("", r.new_root, key)
+            assert g2.value == 1234
+            client2.reset_db()
+            import grpc as _grpc
+            try:
+                client2.get("", r.new_root, key)
+                assert False, "expected failure after ResetDB"
+            except Exception:
+                pass
+        finally:
+            server2.stop(0)
     finally:
         server.stop(0)
 

@@ -29,6 +29,7 @@ class Database:
     def __init__(self, path: str | None = None):
         self._nodes: dict[str, list[int]] = {}
         self._programs: dict[str, bytes] = {}
+        self._log: list[tuple] = []  # (kind, key) write log for GetFlushData
         self._lock = threading.Lock()
         self._path = path
         if path and os.path.exists(path):
@@ -44,7 +45,9 @@ class Database:
     def write(self, key, value: list[int]) -> None:
         assert len(value) == 12
         with self._lock:
-            self._nodes[_k(key)] = [int(x) for x in value]
+            ks = _k(key)
+            self._nodes[ks] = [int(x) for x in value]
+            self._log.append(("node", ks))
 
     # -- programs (contract bytecode keyed by poseidon linear hash) ----------
 
@@ -54,7 +57,31 @@ class Database:
 
     def set_program(self, key, data: bytes) -> None:
         with self._lock:
-            self._programs[_k(key)] = bytes(data)
+            ks = _k(key)
+            self._programs[ks] = bytes(data)
+            self._log.append(("program", ks))
+
+    # -- write log (reference: flush-data replication feed) -------------------
+
+    def mark(self) -> int:
+        with self._lock:
+            return len(self._log)
+
+    def entries_since(self, mark: int) -> dict:
+        with self._lock:
+            nodes, programs = {}, {}
+            for kind, ks in self._log[mark:]:
+                if kind == "node":
+                    nodes[ks] = list(self._nodes.get(ks, []))
+                else:
+                    programs[ks] = self._programs.get(ks, b"")
+            return {"nodes": nodes, "programs": programs}
+
+    def clear(self) -> None:
+        with self._lock:
+            self._nodes.clear()
+            self._programs.clear()
+            self._log.clear()
 
     # -- bulk / persistence ----------------------------------------------------
 
@@ -62,11 +89,13 @@ class Database:
         """Batched flush (reference: multiWrite, src/hashdb/multi_write.cpp)."""
         with self._lock:
             for key, value in nodes.items():
-                self._nodes[_k(key) if not isinstance(key, str) else key] = [
-                    int(x) for x in value
-                ]
+                ks = _k(key) if not isinstance(key, str) else key
+                self._nodes[ks] = [int(x) for x in value]
+                self._log.append(("node", ks))
             for key, data in (programs or {}).items():
-                self._programs[_k(key) if not isinstance(key, str) else key] = bytes(data)
+                ks = _k(key) if not isinstance(key, str) else key
+                self._programs[ks] = bytes(data)
+                self._log.append(("program", ks))
 
     def save(self, path: str | None = None) -> None:
         path = path or self._path

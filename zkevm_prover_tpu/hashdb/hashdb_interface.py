@@ -28,13 +28,16 @@ class HashDB:
         self.db = db if db is not None else Database()
         self.state = StateManager(self.db)
         self._poseidon = rm.Poseidon(pc.round_constants(), pc.mds_matrix())
+        self._latest_root = (0, 0, 0, 0)
 
     # -- SMT state --------------------------------------------------------------
 
     def set(self, batch_uuid: str, tx: int, old_root, key, value: int,
             persistence: int = PERSISTENCE_CACHE) -> SmtSetResult:
         smt = Smt(self._db_for(batch_uuid, persistence))
-        return smt.set(tuple(old_root), tuple(key), int(value))
+        res = smt.set(tuple(old_root), tuple(key), int(value))
+        self._latest_root = tuple(int(v) for v in res.new_root)
+        return res
 
     def get(self, batch_uuid: str, root, key) -> SmtGetResult:
         smt = Smt(self._db_for(batch_uuid, PERSISTENCE_CACHE))
@@ -65,6 +68,76 @@ class HashDB:
 
     def cancel_batch(self, batch_uuid: str) -> None:
         self.state.cancel_batch(batch_uuid)
+
+    # -- extended surface (reference hashdb_service.cpp RPCs) -----------------
+
+    def get_latest_state_root(self) -> tuple:
+        return self._latest_root
+
+    def load_db(self, nodes: dict, persistence: int = PERSISTENCE_DATABASE):
+        """Bulk-load node preimages {hash4: [12 values]} (LoadDB RPC)."""
+        for h, value in nodes.items():
+            self.db.write(tuple(int(v) for v in h),
+                          [int(x) for x in value])
+
+    def load_program_db(self, programs: dict):
+        """Bulk-load programs {key4: bytes} (LoadProgramDB RPC)."""
+        for k, data in programs.items():
+            self.db.set_program(tuple(int(v) for v in k), bytes(data))
+
+    def start_block(self, batch_uuid: str, old_root) -> None:
+        """Block boundary marker within a batch (StartBlock RPC)."""
+        if batch_uuid not in self.state._batches:
+            self.state.begin_batch(batch_uuid, tuple(old_root))
+        self.state.semi_flush(batch_uuid, tuple(old_root))
+
+    def finish_block(self, batch_uuid: str, new_root) -> None:
+        self.state.semi_flush(batch_uuid, tuple(new_root))
+
+    def purge(self, batch_uuid: str, new_root,
+              persistence: int = PERSISTENCE_CACHE) -> None:
+        """Drop superseded overlay history, keeping the chain up to
+        new_root (reference StateManager::purge). Content-addressed
+        storage keeps every reachable node, so this only trims batch
+        bookkeeping."""
+        self.state.semi_flush(batch_uuid, tuple(new_root))
+
+    def consolidate_state(self, virtual_root,
+                          persistence: int = PERSISTENCE_DATABASE):
+        """Consolidate a virtual state root: commit every open batch
+        overlay into the base database. Returns (consolidated_root,
+        flush_id, stored_flush_id) — with one content-addressed store the
+        consolidated root IS the virtual root (the reference re-keys
+        virtual nodes; here hashes are already final)."""
+        for uuid in list(self.state._batches):
+            self.state.flush(uuid)
+        status = self.state.get_flush_status()
+        self._latest_root = tuple(int(v) for v in virtual_root)
+        return (self._latest_root, status["lastFlushId"],
+                status["storedFlushId"])
+
+    def get_flush_data(self, flush_id: int) -> dict:
+        """Nodes/programs persisted since `flush_id` (GetFlushData RPC,
+        which feeds the external DB replicator)."""
+        mark = self.state._flush_marks.get(flush_id, 0)
+        return self.db.entries_since(mark)
+
+    def read_tree(self, root, keys: list) -> list:
+        """Read values + proof levels for `keys` under `root`
+        (ReadTree RPC)."""
+        smt = Smt(self.db)
+        out = []
+        for key in keys:
+            res = smt.get(tuple(root), tuple(key))
+            out.append({"key": tuple(key), "value": res.value,
+                        "level": max(res.siblings) + 1 if res.siblings
+                        else 0})
+        return out
+
+    def reset_db(self) -> None:
+        self.db.clear()
+        self.state = StateManager(self.db)
+        self._latest_root = (0, 0, 0, 0)
 
     # -- helpers --------------------------------------------------------------------
 

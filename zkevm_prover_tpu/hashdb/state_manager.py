@@ -32,6 +32,7 @@ class StateManager:
         self._lock = threading.Lock()
         self._flush_id = 0
         self._sent_flush_id = 0
+        self._flush_marks: dict[int, int] = {0: 0}  # flush id -> db log mark
 
     # -- batch lifecycle -------------------------------------------------------
 
@@ -65,6 +66,9 @@ class StateManager:
             self.db.multi_write(b.nodes, b.programs)
             with self._lock:
                 self._sent_flush_id = fid
+        with self._lock:
+            if hasattr(self.db, "mark"):
+                self._flush_marks[fid] = self.db.mark()
         return fid, self._sent_flush_id
 
     def get_flush_status(self) -> dict:

@@ -75,6 +75,64 @@ class HashDBServiceImpl:
         self.hashdb.cancel_batch(req.batch_uuid)
         return pb.CancelBatchResponse(result=0)
 
+    def GetLatestStateRoot(self, req, ctx):
+        return pb.GetLatestStateRootResponse(
+            root=_to_fea(self.hashdb.get_latest_state_root()))
+
+    def LoadDB(self, req, ctx):
+        self.hashdb.load_db(
+            {_fea(e.hash): list(e.value) for e in req.nodes})
+        return pb.Empty()
+
+    def LoadProgramDB(self, req, ctx):
+        self.hashdb.load_program_db(
+            {_fea(e.key): e.data for e in req.programs})
+        return pb.Empty()
+
+    def StartBlock(self, req, ctx):
+        self.hashdb.start_block(req.batch_uuid, _fea(req.root))
+        return pb.Empty()
+
+    def FinishBlock(self, req, ctx):
+        self.hashdb.finish_block(req.batch_uuid, _fea(req.root))
+        return pb.Empty()
+
+    def Purge(self, req, ctx):
+        self.hashdb.purge(req.batch_uuid, _fea(req.new_state_root),
+                          req.persistence)
+        return pb.PurgeResponse(result=0)
+
+    def GetFlushData(self, req, ctx):
+        data = self.hashdb.get_flush_data(req.flush_id)
+        nodes = [pb.NodeEntry(hash=_to_fea(tuple(int(k[i * 16:(i + 1) * 16],
+                                                     16)
+                                                 for i in range(4))),
+                              value=v)
+                 for k, v in data["nodes"].items()]
+        programs = [
+            pb.ProgramEntry(key=_to_fea(tuple(int(k[i * 16:(i + 1) * 16], 16)
+                                              for i in range(4))), data=d)
+            for k, d in data["programs"].items()]
+        return pb.GetFlushDataResponse(nodes=nodes, programs=programs)
+
+    def ConsolidateState(self, req, ctx):
+        root, fid, stored = self.hashdb.consolidate_state(
+            _fea(req.virtual_state_root), req.persistence)
+        return pb.ConsolidateStateResponse(
+            consolidated_state_root=_to_fea(root), flush_id=fid,
+            stored_flush_id=stored, result=0)
+
+    def ReadTree(self, req, ctx):
+        entries = self.hashdb.read_tree(
+            _fea(req.root), [_fea(k) for k in req.keys])
+        return pb.ReadTreeResponse(entries=[
+            pb.KeyValueLevel(key=_to_fea(e["key"]), value=hex(e["value"]),
+                             level=e["level"]) for e in entries], result=0)
+
+    def ResetDB(self, req, ctx):
+        self.hashdb.reset_db()
+        return pb.ResetDBResponse(result=0)
+
 
 def serve_hashdb(port: int, hashdb: HashDB | None = None,
                  max_workers: int = 8) -> grpc.Server:
@@ -88,6 +146,17 @@ def serve_hashdb(port: int, hashdb: HashDB | None = None,
         "Flush": unary(impl.Flush, pb.FlushRequest),
         "GetFlushStatus": unary(impl.GetFlushStatus, pb.Empty),
         "CancelBatch": unary(impl.CancelBatch, pb.CancelBatchRequest),
+        "GetLatestStateRoot": unary(impl.GetLatestStateRoot, pb.Empty),
+        "LoadDB": unary(impl.LoadDB, pb.LoadDBRequest),
+        "LoadProgramDB": unary(impl.LoadProgramDB, pb.LoadProgramDBRequest),
+        "StartBlock": unary(impl.StartBlock, pb.BlockRequest),
+        "FinishBlock": unary(impl.FinishBlock, pb.BlockRequest),
+        "Purge": unary(impl.Purge, pb.PurgeRequest),
+        "GetFlushData": unary(impl.GetFlushData, pb.GetFlushDataRequest),
+        "ConsolidateState": unary(impl.ConsolidateState,
+                                  pb.ConsolidateStateRequest),
+        "ReadTree": unary(impl.ReadTree, pb.ReadTreeRequest),
+        "ResetDB": unary(impl.ResetDB, pb.Empty),
     })
     server.add_insecure_port(f"[::]:{port}")
     server.start()
@@ -158,6 +227,61 @@ class HashDBClient:
 
     def cancel_batch(self, batch_uuid):
         self._cancel(pb.CancelBatchRequest(batch_uuid=batch_uuid))
+
+    def _stub(self, method, resp_cls):
+        return unary_stub(self._channel, SERVICE, method, resp_cls)
+
+    def get_latest_state_root(self):
+        resp = self._stub("GetLatestStateRoot",
+                          pb.GetLatestStateRootResponse)(pb.Empty())
+        return _fea(resp.root)
+
+    def load_db(self, nodes: dict):
+        self._stub("LoadDB", pb.Empty)(pb.LoadDBRequest(nodes=[
+            pb.NodeEntry(hash=_to_fea(h), value=list(v))
+            for h, v in nodes.items()]))
+
+    def load_program_db(self, programs: dict):
+        self._stub("LoadProgramDB", pb.Empty)(pb.LoadProgramDBRequest(
+            programs=[pb.ProgramEntry(key=_to_fea(k), data=d)
+                      for k, d in programs.items()]))
+
+    def start_block(self, batch_uuid, root):
+        self._stub("StartBlock", pb.Empty)(pb.BlockRequest(
+            batch_uuid=batch_uuid, root=_to_fea(root)))
+
+    def finish_block(self, batch_uuid, root):
+        self._stub("FinishBlock", pb.Empty)(pb.BlockRequest(
+            batch_uuid=batch_uuid, root=_to_fea(root)))
+
+    def purge(self, batch_uuid, new_state_root, persistence=0):
+        self._stub("Purge", pb.PurgeResponse)(pb.PurgeRequest(
+            batch_uuid=batch_uuid, new_state_root=_to_fea(new_state_root),
+            persistence=persistence))
+
+    def get_flush_data(self, flush_id: int):
+        resp = self._stub("GetFlushData", pb.GetFlushDataResponse)(
+            pb.GetFlushDataRequest(flush_id=flush_id))
+        return {"nodes": {_fea(e.hash): list(e.value) for e in resp.nodes},
+                "programs": {_fea(e.key): e.data for e in resp.programs}}
+
+    def consolidate_state(self, virtual_root, persistence=1):
+        resp = self._stub("ConsolidateState", pb.ConsolidateStateResponse)(
+            pb.ConsolidateStateRequest(
+                virtual_state_root=_to_fea(virtual_root),
+                persistence=persistence))
+        return (_fea(resp.consolidated_state_root), resp.flush_id,
+                resp.stored_flush_id)
+
+    def read_tree(self, root, keys):
+        resp = self._stub("ReadTree", pb.ReadTreeResponse)(
+            pb.ReadTreeRequest(root=_to_fea(root),
+                               keys=[_to_fea(k) for k in keys]))
+        return [{"key": _fea(e.key), "value": int(e.value, 16),
+                 "level": e.level} for e in resp.entries]
+
+    def reset_db(self):
+        self._stub("ResetDB", pb.ResetDBResponse)(pb.Empty())
 
 
 def make_hashdb(url: str = "local"):
