@@ -138,3 +138,37 @@ def test_aggregator_channel_end_to_end(shared_prover):
     finally:
         client.stop()
         server.stop()
+
+
+def test_executor_stateless_batch(shared_prover):
+    from zkevm_prover_tpu.hashdb.database import Database
+    from zkevm_prover_tpu.hashdb.smt import Smt
+    from zkevm_prover_tpu.prover import datastream, witness
+
+    # build a tiny state + stream
+    smt = Smt(Database())
+    ctx = witness._Ctx(b"", smt)
+    key = witness._leaf_key(ctx, 0, 0x1234, 0)
+    root = smt.set((0, 0, 0, 0), key, 55).new_root
+    blob = witness.db_to_witness(smt.db, root)
+
+    batch = datastream.DataStreamBatch(batch_number=4, fork_id=9,
+                                       chain_id=1101)
+    blk = datastream.DataStreamBlock(
+        block_number=10, timestamp=1700, delta_timestamp=1,
+        l1_info_tree_index=0, l1_block_hash=b"\0" * 32,
+        global_exit_root=b"\0" * 32, coinbase=b"\x0a" * 20,
+        fork_id=9, chain_id=1101)
+    batch.blocks = [blk]
+    stream = datastream.encode(batch)
+
+    server = serve_executor(58072, shared_prover)
+    try:
+        client = ExecutorClient("127.0.0.1:58072")
+        resp = client.process_stateless_batch(witness=blob,
+                                              data_stream=stream)
+        assert resp.error == 0
+        assert resp.new_batch_num == 5
+        assert resp.prover_id == "zkevm-prover-tpu"
+    finally:
+        server.stop(0)
