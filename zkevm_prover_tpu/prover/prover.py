@@ -208,14 +208,38 @@ class Prover:
             self._final_setup = groth16_setup(b.build())
         return self._final_setup
 
-    def gen_final_proof(self, agg) -> FinalProof:
+    def _final_circuit_plonk(self):
+        """The digest-binding statement as a PLONK circuit (the Fflonk-role
+        alternative final SNARK, snark/plonk.py)."""
+        if getattr(self, "_final_plonk", None) is None:
+            from ..snark import plonk
+
+            b = plonk.Builder(n_public=1)
+            s = b.alloc()
+            inv = b.alloc()
+            t = b.mul(s, inv)
+            b._gate(1, bn254.R - 1, 0, 0, 0, s, t, 0)  # s·t - s = 0
+            b.assert_equal(s, 1)                        # s == digest public
+            self._final_plonk = plonk.plonk_setup(b.build())
+        return self._final_plonk
+
+    def gen_final_proof(self, agg, snark: str = "groth16") -> FinalProof:
         digest = self.publics_digest(agg.publics)
-        setup = self._final_circuit()
         s = digest
         inv = pow(s, bn254.R - 2, bn254.R) if s else 0
-        w = [1, digest, s, inv, s * inv % bn254.R]
-        with timer("RAPID_SNARK", self.metrics, log=False):
-            proof = groth16_prove(setup, w)
+        if snark == "plonk":
+            from ..snark import plonk
+
+            setup = self._final_circuit_plonk()
+            assign = [0, digest, s, inv, s * inv % bn254.R]
+            with timer("RAPID_SNARK", self.metrics, log=False):
+                proof = plonk.plonk_prove(setup, assign)
+            proof = {"system": "plonk", **proof}
+        else:
+            setup = self._final_circuit()
+            w = [1, digest, s, inv, s * inv % bn254.R]
+            with timer("RAPID_SNARK", self.metrics, log=False):
+                proof = groth16_prove(setup, w)
         return FinalProof(publics=agg.publics, groth16=proof,
                           publics_digest=digest)
 
@@ -235,5 +259,11 @@ class Prover:
     def verify_final_proof(self, fp: FinalProof) -> bool:
         if fp.publics_digest != self.publics_digest(fp.publics):
             return False
+        if isinstance(fp.groth16, dict) and \
+                fp.groth16.get("system") == "plonk":
+            from ..snark import plonk
+
+            return plonk.plonk_verify(self._final_circuit_plonk(),
+                                      [fp.publics_digest], fp.groth16)
         return groth16_verify(self._final_circuit(), [fp.publics_digest],
                               fp.groth16)
