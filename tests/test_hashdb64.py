@@ -80,3 +80,36 @@ def test_database64_programs(tmp_path):
     db64.set_program((1, 2, 3, 4), code)
     assert db64.get_program((1, 2, 3, 4)) == code
     assert db64.get_program((9, 9, 9, 9)) is None
+
+
+def test_key_value_history(tmp_path):
+    from zkevm_prover_tpu.hashdb64.key_value_history import KeyValueHistory
+    from zkevm_prover_tpu.hashdb64.page_store import PageStore, build_library
+
+    build_library()
+    store = PageStore(str(tmp_path / "kvh.pages"))
+    kvh = KeyValueHistory(store)
+
+    k1, k2 = (1, 2, 3, 4), (5, 6, 7, 8)
+    r1, r2, r3 = (11, 0, 0, 0), (22, 0, 0, 0), (33, 0, 0, 0)
+    kvh.write_batch({k1: 100}, r1)
+    kvh.write_batch({k1: 200, k2: 7}, r2)
+    kvh.write_batch({k2: 9}, r3)
+
+    # historical reads per root (the KeyValueTree fast path)
+    assert kvh.read(r1, k1) == 100
+    assert kvh.read(r1, k2) is None
+    assert kvh.read(r2, k1) == 200
+    assert kvh.read(r2, k2) == 7
+    assert kvh.read(r3, k1) == 200
+    assert kvh.read(r3, k2) == 9
+    assert kvh.read((99, 0, 0, 0), k1) is None
+
+    # persists across reopen (mmapped page file)
+    store.flush()
+    store.close()
+    store2 = PageStore(str(tmp_path / "kvh.pages"))
+    kvh2 = KeyValueHistory(store2)
+    assert kvh2.read(r2, k1) == 200
+    assert kvh2.current_version() == 3
+    store2.close()
