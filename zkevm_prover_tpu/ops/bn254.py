@@ -214,16 +214,83 @@ def g1_neg(pt):
     return INF if pt is INF else (pt[0], (-pt[1]) % P)
 
 
+# Jacobian coordinates for the scalar-multiplication hot paths: the affine
+# formulas above pay one field inversion per addition (reference ffiasm
+# works in projective space for the same reason); (X, Y, Z) with
+# x = X/Z², y = Y/Z³, infinity encoded as Z = 0.
+
+_JINF = (1, 1, 0)
+
+
+def _jac_from_affine(pt):
+    return _JINF if pt is INF else (pt[0], pt[1], 1)
+
+
+def _jac_to_affine(j):
+    X, Y, Z = j
+    if Z == 0:
+        return INF
+    zi = fq_inv(Z)
+    zi2 = zi * zi % P
+    return (X * zi2 % P, Y * zi2 % P * zi % P)
+
+
+def _jac_double(j):
+    X, Y, Z = j
+    if Z == 0 or Y == 0:
+        return _JINF
+    A = X * X % P
+    B_ = Y * Y % P
+    C = B_ * B_ % P
+    D = 2 * ((X + B_) * (X + B_) - A - C) % P
+    E = 3 * A % P
+    F = E * E % P
+    X3 = (F - 2 * D) % P
+    Y3 = (E * (D - X3) - 8 * C) % P
+    Z3 = 2 * Y * Z % P
+    return (X3, Y3, Z3)
+
+
+def _jac_add(j1, j2):
+    X1, Y1, Z1 = j1
+    X2, Y2, Z2 = j2
+    if Z1 == 0:
+        return j2
+    if Z2 == 0:
+        return j1
+    Z1Z1 = Z1 * Z1 % P
+    Z2Z2 = Z2 * Z2 % P
+    U1 = X1 * Z2Z2 % P
+    U2 = X2 * Z1Z1 % P
+    S1 = Y1 * Z2 % P * Z2Z2 % P
+    S2 = Y2 * Z1 % P * Z1Z1 % P
+    if U1 == U2:
+        if S1 != S2:
+            return _JINF
+        return _jac_double(j1)
+    H = (U2 - U1) % P
+    I = 4 * H * H % P
+    J = H * I % P
+    rr = 2 * (S2 - S1) % P
+    V = U1 * I % P
+    X3 = (rr * rr - J - 2 * V) % P
+    Y3 = (rr * (V - X3) - 2 * S1 * J) % P
+    Z3 = 2 * H % P * Z1 % P * Z2 % P
+    return (X3, Y3, Z3)
+
+
 def g1_mul(pt, k: int):
     k %= R
-    acc = INF
-    add = pt
+    if pt is INF or k == 0:
+        return INF
+    acc = _JINF
+    add = _jac_from_affine(pt)
     while k:
         if k & 1:
-            acc = g1_add(acc, add)
-        add = g1_double(add)
+            acc = _jac_add(acc, add)
+        add = _jac_double(add)
         k >>= 1
-    return acc
+    return _jac_to_affine(acc)
 
 
 def g1_is_on_curve(pt) -> bool:
@@ -295,6 +362,7 @@ def g2_is_on_curve(pt) -> bool:
 
 
 def g1_msm(points, scalars) -> tuple | None:
+    """Pippenger over Jacobian accumulators (one inversion total)."""
     assert len(points) == len(scalars)
     n = len(points)
     if n == 0:
@@ -302,22 +370,23 @@ def g1_msm(points, scalars) -> tuple | None:
     c = max(1, int.bit_length(n) - 1)  # window bits
     n_bits = 256
     windows = (n_bits + c - 1) // c
-    result = INF
+    jpts = [_jac_from_affine(p) for p in points]
+    result = _JINF
     for w in range(windows - 1, -1, -1):
-        if result is not INF:
+        if result[2] != 0:
             for _ in range(c):
-                result = g1_double(result)
-        buckets = [INF] * (1 << c)
-        for pt, s in zip(points, scalars):
+                result = _jac_double(result)
+        buckets = [_JINF] * (1 << c)
+        for jp, s in zip(jpts, scalars):
             idx = (s >> (w * c)) & ((1 << c) - 1)
             if idx:
-                buckets[idx] = g1_add(buckets[idx], pt)
-        running, acc = INF, INF
+                buckets[idx] = _jac_add(buckets[idx], jp)
+        running, acc = _JINF, _JINF
         for b in range(len(buckets) - 1, 0, -1):
-            running = g1_add(running, buckets[b])
-            acc = g1_add(acc, running)
-        result = g1_add(result, acc)
-    return result
+            running = _jac_add(running, buckets[b])
+            acc = _jac_add(acc, running)
+        result = _jac_add(result, acc)
+    return _jac_to_affine(result)
 
 
 def g2_msm(points, scalars):
