@@ -361,6 +361,146 @@ def g2_is_on_curve(pt) -> bool:
 # the same log(n)-driven heuristic.
 
 
+# fixed-base windowed multiplication for the generators (SRS generation is
+# tens of thousands of muls by G1/G2 — the reference precomputes in its
+# zkey; here an 8-bit window table turns each mul into <=32 curve adds)
+
+_FB_WINDOW = 8
+
+
+class _FixedBaseG1:
+    def __init__(self, pt):
+        self.tables = []
+        base = _jac_from_affine(pt)
+        for _ in range(256 // _FB_WINDOW):
+            row = [_JINF]
+            cur = _JINF
+            for _d in range((1 << _FB_WINDOW) - 1):
+                cur = _jac_add(cur, base)
+                row.append(cur)
+            self.tables.append(row)
+            for _i in range(_FB_WINDOW):
+                base = _jac_double(base)
+
+    def mul(self, k: int):
+        k %= R
+        acc = _JINF
+        for w, row in enumerate(self.tables):
+            d = (k >> (w * _FB_WINDOW)) & ((1 << _FB_WINDOW) - 1)
+            if d:
+                acc = _jac_add(acc, row[d])
+        return _jac_to_affine(acc)
+
+
+_fb_g1 = None
+
+
+def g1_mul_gen(k: int):
+    """k·G1 via the cached fixed-base table."""
+    global _fb_g1
+    if _fb_g1 is None:
+        _fb_g1 = _FixedBaseG1(G1_GEN)
+    return _fb_g1.mul(k)
+
+
+# G2 Jacobian (over Fq2) — same formulas componentwise
+
+_J2INF = ((1, 0), (1, 0), (0, 0))
+
+
+def _jac2_from_affine(pt):
+    return _J2INF if pt is INF else (pt[0], pt[1], (1, 0))
+
+
+def _jac2_to_affine(j):
+    X, Y, Z = j
+    if Z == (0, 0):
+        return INF
+    zi = f2_inv(Z)
+    zi2 = f2_mul(zi, zi)
+    return (f2_mul(X, zi2), f2_mul(f2_mul(Y, zi2), zi))
+
+
+def _jac2_double(j):
+    X, Y, Z = j
+    if Z == (0, 0) or Y == (0, 0):
+        return _J2INF
+    A = f2_mul(X, X)
+    B_ = f2_mul(Y, Y)
+    C = f2_mul(B_, B_)
+    t = f2_add(X, B_)
+    D = f2_muls(f2_sub(f2_sub(f2_mul(t, t), A), C), 2)
+    E = f2_muls(A, 3)
+    F = f2_mul(E, E)
+    X3 = f2_sub(F, f2_muls(D, 2))
+    Y3 = f2_sub(f2_mul(E, f2_sub(D, X3)), f2_muls(C, 8))
+    Z3 = f2_muls(f2_mul(Y, Z), 2)
+    return (X3, Y3, Z3)
+
+
+def _jac2_add(j1, j2):
+    X1, Y1, Z1 = j1
+    X2, Y2, Z2 = j2
+    if Z1 == (0, 0):
+        return j2
+    if Z2 == (0, 0):
+        return j1
+    Z1Z1 = f2_mul(Z1, Z1)
+    Z2Z2 = f2_mul(Z2, Z2)
+    U1 = f2_mul(X1, Z2Z2)
+    U2 = f2_mul(X2, Z1Z1)
+    S1 = f2_mul(f2_mul(Y1, Z2), Z2Z2)
+    S2 = f2_mul(f2_mul(Y2, Z1), Z1Z1)
+    if U1 == U2:
+        if S1 != S2:
+            return _J2INF
+        return _jac2_double(j1)
+    H = f2_sub(U2, U1)
+    I = f2_muls(f2_mul(H, H), 4)
+    J = f2_mul(H, I)
+    rr = f2_muls(f2_sub(S2, S1), 2)
+    V = f2_mul(U1, I)
+    X3 = f2_sub(f2_sub(f2_mul(rr, rr), J), f2_muls(V, 2))
+    Y3 = f2_sub(f2_mul(rr, f2_sub(V, X3)), f2_muls(f2_mul(S1, J), 2))
+    Z3 = f2_muls(f2_mul(f2_mul(H, Z1), Z2), 2)
+    return (X3, Y3, Z3)
+
+
+class _FixedBaseG2:
+    def __init__(self, pt):
+        self.tables = []
+        base = _jac2_from_affine(pt)
+        for _ in range(256 // _FB_WINDOW):
+            row = [_J2INF]
+            cur = _J2INF
+            for _d in range((1 << _FB_WINDOW) - 1):
+                cur = _jac2_add(cur, base)
+                row.append(cur)
+            self.tables.append(row)
+            for _i in range(_FB_WINDOW):
+                base = _jac2_double(base)
+
+    def mul(self, k: int):
+        k %= R
+        acc = _J2INF
+        for w, row in enumerate(self.tables):
+            d = (k >> (w * _FB_WINDOW)) & ((1 << _FB_WINDOW) - 1)
+            if d:
+                acc = _jac2_add(acc, row[d])
+        return _jac2_to_affine(acc)
+
+
+_fb_g2 = None
+
+
+def g2_mul_gen(k: int):
+    """k·G2 via the cached fixed-base table."""
+    global _fb_g2
+    if _fb_g2 is None:
+        _fb_g2 = _FixedBaseG2(G2_GEN)
+    return _fb_g2.mul(k)
+
+
 def g1_msm(points, scalars) -> tuple | None:
     """Pippenger over Jacobian accumulators (one inversion total)."""
     assert len(points) == len(scalars)

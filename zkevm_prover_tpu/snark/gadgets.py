@@ -187,3 +187,102 @@ def gl3_mul(s: Synthesizer, a: list[int], b: list[int]) -> list[int]:
     c2 = gl_add(s, gl_add(s, p[0][2], p[1][1]),
                 gl_add(s, p[2][0], p[2][2]))
     return [c0, c1, c2]
+
+
+def gl_lincomb(s: Synthesizer, terms: list, const: int = 0) -> int:
+    """r = (const + Σ c_i·v_i) mod p_GL, one reduction for the whole sum.
+
+    terms: [(coeff_int, signal)]. Total < (1+len)·p² keeps the quotient
+    within 64+log2(len)+1 bits.
+    """
+    t = (const + sum(c * s.w[v] for c, v in terms)) % R
+    q_v, r_v = divmod(t, GL_P)
+    q = s.alloc(q_v)
+    r = s.alloc(r_v)
+    lc = {v: c % R for c, v in terms}
+    lc[q] = (lc.get(q, 0) + R - GL_P) % R
+    lc[r] = (lc.get(r, 0) + R - 1) % R
+    lc[0] = (lc.get(0, 0) + const) % R
+    s.b.constrain(lc, {0: 1}, {0: 0})
+    qbits = 65 + max(1, len(terms)).bit_length()
+    s.bits(q, qbits)
+    s.bits(r, 64)
+    return r
+
+
+def gl_sub(s: Synthesizer, a: int, b: int) -> int:
+    return gl_lincomb(s, [(1, a), (GL_P - 1, b)])
+
+
+def gl3_add(s: Synthesizer, a: list[int], b: list[int]) -> list[int]:
+    return [gl_add(s, a[i], b[i]) for i in range(3)]
+
+
+def gl3_sub(s: Synthesizer, a: list[int], b: list[int]) -> list[int]:
+    return [gl_sub(s, a[i], b[i]) for i in range(3)]
+
+
+def gl3_muls(s: Synthesizer, a: list[int], c: int) -> list[int]:
+    """GL3 times a constant base-field scalar."""
+    return [gl_lincomb(s, [(c % GL_P, a[i])]) for i in range(3)]
+
+
+def gl_assert_zero(s: Synthesizer, a: int) -> None:
+    """a ≡ 0 mod p_GL for a < 2^64: a ∈ {0, p} ⟺ a·(a-p) = 0."""
+    s.b.constrain({a: 1}, {a: 1, 0: R - GL_P}, {0: 0})
+
+
+def gl_assert_eq(s: Synthesizer, a: int, b: int) -> None:
+    gl_assert_zero(s, gl_sub(s, a, b))
+
+
+def gl3_assert_eq(s: Synthesizer, a: list[int], b: list[int]) -> None:
+    for i in range(3):
+        gl_assert_eq(s, a[i], b[i])
+
+
+def gl_inv(s: Synthesizer, a: int) -> int:
+    """Witness inverse with in-circuit check a·ai ≡ 1 (a nonzero)."""
+    v = s.w[a] % GL_P
+    ai = s.alloc(pow(v, GL_P - 2, GL_P))
+    s.bits(ai, 64)
+    one = gl_mul(s, a, ai)
+    gl_assert_zero(s, gl_lincomb(s, [(1, one)], GL_P - 1))  # one - 1 ≡ 0
+    return ai
+
+
+def gl3_inv(s: Synthesizer, a: list[int]) -> list[int]:
+    """Witness GL3 inverse checked by a full gl3_mul == (1,0,0)."""
+    from ..ops import refmodel as rm
+
+    av = tuple(s.w[x] % GL_P for x in a)
+    iv = rm.inv3(av)
+    inv = [s.alloc(int(v)) for v in iv]
+    for x in inv:
+        s.bits(x, 64)
+    prod = gl3_mul(s, a, inv)
+    gl_assert_zero(s, gl_lincomb(s, [(1, prod[0])], GL_P - 1))
+    gl_assert_zero(s, prod[1])
+    gl_assert_zero(s, prod[2])
+    return inv
+
+
+def gl_canon(s: Synthesizer, a: int) -> int:
+    """Reduce a (< 2^64) to the canonical residue < p_GL."""
+    return gl_lincomb(s, [(1, a)])
+
+
+def fr_to_gl3(s: Synthesizer, v: int) -> list[int]:
+    """TranscriptBN128.get_field3 in-circuit: three 63-bit chunks of the
+    squeezed Fr element (each < 2^63 < p_GL, so no reduction needed)."""
+    bs = s.bits(v, 254)
+    out = []
+    for k in range(3):
+        lc = {bs[63 * k + i]: 1 << i for i in range(63)}
+        out.append(s.lin(lc))
+    return out
+
+
+def fr_bits_low(s: Synthesizer, v: int, n: int) -> list[int]:
+    """The low 252 bits of a squeezed element (query-index extraction)."""
+    return s.bits(v, 254)[:n]

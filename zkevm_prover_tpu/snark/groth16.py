@@ -90,29 +90,31 @@ def groth16_setup(r1cs: R1CS, seed: bytes = b"zkevm_prover_tpu/groth16") -> Grot
     for i in range(r1cs.n_signals):
         k = (beta * a_t[i] + alpha * b_t[i] + c_t[i]) % R
         if i <= r1cs.n_public:
-            ic.append(bn.g1_mul(g1, k * gamma_inv % R))
+            ic.append(bn.g1_mul_gen(k * gamma_inv % R))
         else:
-            l_query.append(bn.g1_mul(g1, k * delta_inv % R))
+            l_query.append(bn.g1_mul_gen(k * delta_inv % R))
 
     n = 1 << n_bits
-    h_query = [
-        bn.g1_mul(g1, pow(tau, i, R) * zt % R * delta_inv % R)
-        for i in range(n - 1)
-    ]
+    tzd = zt * delta_inv % R
+    acc_t = 1
+    h_query = []
+    for i in range(n - 1):
+        h_query.append(bn.g1_mul_gen(acc_t * tzd % R))
+        acc_t = acc_t * tau % R
     return Groth16Setup(
         r1cs=r1cs,
         domain_bits=n_bits,
-        alpha1=bn.g1_mul(g1, alpha),
-        beta1=bn.g1_mul(g1, beta),
-        beta2=bn.g2_mul(g2, beta),
-        delta1=bn.g1_mul(g1, delta),
-        delta2=bn.g2_mul(g2, delta),
-        a_query=[bn.g1_mul(g1, v) for v in a_t],
-        b1_query=[bn.g1_mul(g1, v) for v in b_t],
-        b2_query=[bn.g2_mul(g2, v) for v in b_t],
+        alpha1=bn.g1_mul_gen(alpha),
+        beta1=bn.g1_mul_gen(beta),
+        beta2=bn.g2_mul_gen(beta),
+        delta1=bn.g1_mul_gen(delta),
+        delta2=bn.g2_mul_gen(delta),
+        a_query=[bn.g1_mul_gen(v) for v in a_t],
+        b1_query=[bn.g1_mul_gen(v) for v in b_t],
+        b2_query=[bn.g2_mul_gen(v) for v in b_t],
         l_query=l_query,
         h_query=h_query,
-        gamma2=bn.g2_mul(g2, gamma),
+        gamma2=bn.g2_mul_gen(gamma),
         ic=ic,
     )
 

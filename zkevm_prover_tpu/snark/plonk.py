@@ -152,9 +152,9 @@ def plonk_setup(circuit: PlonkCircuit,
     srs_g1 = []
     acc = 1
     for _ in range(3 * n + 8):
-        srs_g1.append(bn254.g1_mul(bn254.G1_GEN, acc))
+        srs_g1.append(bn254.g1_mul_gen(acc))
         acc = acc * tau % R
-    x_g2 = bn254.g2_mul(bn254.G2_GEN, tau)
+    x_g2 = bn254.g2_mul_gen(tau)
 
     def pad(vals):
         return [v % R for v in vals] + [0] * (n - len(vals))

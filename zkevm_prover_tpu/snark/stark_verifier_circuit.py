@@ -1,0 +1,409 @@
+"""The STARK verifier as an R1CS circuit — recursive proof compression.
+
+Reference: the stark_verifier.circom templates the reference compiles per
+starkinfo and wraps with Groth16/Fflonk (recursiveF -> final). This module
+synthesizes the same statement over our R1CS for a BN128-scheme STARK
+(stark/scheme.py): the Poseidon-BN128 transcript and arity-16 Merkle trees
+are native Fr arithmetic, and the FRI/eval algebra runs through the
+Goldilocks-in-Fr gadgets (snark/gadgets.py).
+
+The circuit is *instance-specialized*: it is built with the proof in hand,
+so Fiat-Shamir-derived query indices pick static Merkle slot orders and
+fold positions — BUT every derivation is also replayed and asserted
+in-circuit (indices are recomposed from transcript bits and pinned to the
+specialization), so no witness exists for a proof that disagrees with its
+specialization. This is sound per-instance and sidesteps in-circuit
+multiplexers; the reference's fixed-circuit route (multiplexed selects)
+is the scaling refinement.
+
+Public inputs of the circuit: the verkey root (1 Fr) followed by the
+STARK publics. `build(setup, verkey, proof)` returns (r1cs, witness,
+publics) ready for snark.groth16 / snark.plonk.
+
+Mirrors stark/verifier.py check for check; kept deliberately parallel so
+the host verifier remains the oracle for this circuit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..ops import bn254, poseidon_bn128 as pbn
+from ..ops import goldilocks as gl
+from ..ops import refmodel as rm
+from ..stark import expr as ex
+from . import gadgets as gd
+from .gadgets import Synthesizer
+
+R = bn254.R
+P = gd.GL_P
+ARITY = 16
+
+
+class _Transcript:
+    """TranscriptBN128 replayed in-circuit (ops/transcript_bn128.py)."""
+
+    def __init__(self, s: Synthesizer):
+        self.s = s
+        self.zero = s.alloc(0)
+        s.b.constrain({self.zero: 1}, {0: 1}, {0: 0})
+        self.state = self.zero
+        self.pending: list[int] = []
+        self.out: list[int] = []
+
+    def put(self, sigs) -> None:
+        for v in sigs:
+            self.pending.append(v)
+            self.out = []
+            if len(self.pending) == pbn.T - 1:
+                self._permute()
+
+    def _permute(self) -> None:
+        inputs = self.pending + [self.zero] * (pbn.T - 1 - len(self.pending))
+        out = gd.poseidon_bn128_permute(self.s, inputs + [self.state])
+        self.pending = []
+        self.out = list(out)
+        self.state = out[0]
+
+    def get_fr(self) -> int:
+        if not self.out:
+            self._permute()
+        return self.out.pop(0)
+
+    def get_field3(self) -> list[int]:
+        return gd.fr_to_gl3(self.s, self.get_fr())
+
+
+def _const3(s: Synthesizer, v) -> list[int]:
+    """Pin a GL3 constant as three signals."""
+    t = v if isinstance(v, tuple) else (int(v) % P, 0, 0)
+    out = []
+    for limb in t:
+        sig = s.alloc(int(limb) % P)
+        s.b.constrain({sig: 1, 0: R - int(limb) % P}, {0: 1}, {0: 0})
+        out.append(sig)
+    return out
+
+
+def _eval_dag(s: Synthesizer, e: ex.Expr, bind) -> list[int]:
+    """ex.eval_point mirrored with GL3 signal triples."""
+    memo: dict[int, list[int]] = {}
+    consts: dict[int, list[int]] = {}
+
+    def num3(v: int) -> list[int]:
+        if v not in consts:
+            consts[v] = _const3(s, v)
+        return consts[v]
+
+    def rec(n) -> list[int]:
+        k = id(n)
+        if k in memo:
+            return memo[k]
+        if isinstance(n, ex.Add):
+            v = gd.gl3_add(s, rec(n.a), rec(n.b))
+        elif isinstance(n, ex.Sub):
+            v = gd.gl3_sub(s, rec(n.a), rec(n.b))
+        elif isinstance(n, ex.Mul):
+            v = gd.gl3_mul(s, rec(n.a), rec(n.b))
+        elif isinstance(n, ex.Neg):
+            v = gd.gl3_sub(s, num3(0), rec(n.a))
+        elif isinstance(n, ex.Number):
+            v = num3(n.value % P)
+        else:
+            v = bind(n)
+        memo[k] = v
+        return v
+
+    return rec(e)
+
+
+def _merkle_path(s: Synthesizer, row_sigs: list[int], sib_sigs: list[list[int]],
+                 idx: int, root_sig: int) -> None:
+    """verify_group_proof in-circuit: GL row -> pack 3-per-Fr -> sponge ->
+    arity-16 climb with static slot positions from idx."""
+    packed = []
+    for off in range(0, len(row_sigs), 3):
+        chunk = row_sigs[off:off + 3]
+        lc = {sig: 1 << (64 * i) for i, sig in enumerate(chunk)}
+        packed.append(s.lin(lc))
+    # linear_hash_fr sponge (empty rows hash to 0 — zero-width trees)
+    digest = None
+    if not packed:
+        digest = _zero(s)
+    for off in range(0, len(packed), 16):
+        chunk = packed[off:off + 16]
+        while len(chunk) < 16:
+            z = s.alloc(0)
+            s.b.constrain({z: 1}, {0: 1}, {0: 0})
+            chunk.append(z)
+        digest = gd.poseidon_hash16(s, chunk, capacity=digest)
+    node = digest
+    i = idx
+    for sibs in sib_sigs:
+        pos = i % ARITY
+        children = list(sibs[:pos]) + [node] + list(sibs[pos:])
+        node = gd.poseidon_hash16(s, children)
+        i //= ARITY
+    s.assert_eq(node, root_sig)
+
+
+def build(setup, verkey, proof):
+    """Synthesize the verifier circuit for one BN128-scheme proof.
+
+    Returns (r1cs, witness, circuit_publics) with circuit_publics =
+    [verkey, *stark_publics]."""
+    s0 = setup
+    assert getattr(s0, "hash_type", "GL") == "BN128", \
+        "the recursive circuit verifies BN128-scheme proofs (recursiveF)"
+    assert proof.hash_type == "BN128"
+    n = s0.n
+    steps = list(s0.fri_steps)
+    n_pub = 1 + len(proof.publics)
+    assert s0.n_queries * steps[0] <= 252, \
+        "miniature circuit: query bits must fit one squeezed element"
+
+    s = Synthesizer(n_public=n_pub)
+    verkey_i = int(verkey)
+    s.set_public(0, verkey_i)
+    for i, p in enumerate(proof.publics):
+        s.set_public(1 + i, int(p))
+    VK = 1  # signal index of the verkey public
+    PUBS = [2 + i for i in range(len(proof.publics))]
+
+    def alloc_gl(v: int) -> int:
+        sig = s.alloc(int(v))
+        s.bits(sig, 64)
+        return sig
+
+    # ---- proof witness signals -----------------------------------------
+    roots = [s.alloc(int(r)) for r in proof.roots]
+    evals = [[alloc_gl(x) for x in e] for e in proof.evals]
+    final_pol = [[alloc_gl(x) for x in row]
+                 for row in np.asarray(proof.final_pol)]
+
+    # ---- 1. transcript replay ------------------------------------------
+    t = _Transcript(s)
+    t.put([VK])
+    t.put(PUBS)
+    challenges = [None] * 8
+    t.put([roots[0]])
+    challenges[0] = t.get_field3()
+    challenges[1] = t.get_field3()
+    t.put([roots[1]])
+    challenges[2] = t.get_field3()
+    challenges[3] = t.get_field3()
+    t.put([roots[2]])
+    challenges[4] = t.get_field3()
+    t.put([roots[3]])
+    challenges[7] = t.get_field3()
+    for e in evals:
+        t.put(e)
+    challenges[5] = t.get_field3()
+    challenges[6] = t.get_field3()
+    fri_roots = [s.alloc(int(proof.fri[si].root)) for si in range(1, len(steps))]
+    special_xs = []
+    for si in range(len(steps)):
+        special_xs.append(t.get_field3())
+        if si < len(steps) - 1:
+            t.put([fri_roots[si]])
+        else:
+            for row in final_pol:
+                t.put(row)
+
+    # query indices: recompose from transcript bits, pin to specialization
+    ys_host = _host_queries(s0, verkey_i, proof)
+    qfr = t.get_fr()
+    qbits = gd.fr_bits_low(s, qfr, s0.n_queries * steps[0])
+    for qi in range(s0.n_queries):
+        lc = {qbits[qi * steps[0] + j]: 1 << j for j in range(steps[0])}
+        got = s.lin(lc)
+        s.b.constrain({got: 1, 0: R - ys_host[qi]}, {0: 1}, {0: 0})
+    ys = ys_host
+
+    # ---- 2. quotient identity at xi ------------------------------------
+    xi = challenges[7]
+    ev_of = {}
+    for k, e in enumerate(s0.ev_map):
+        ev_of[(e.type, e.id, e.prime)] = evals[k]
+
+    def bind_main(node):
+        if isinstance(node, ex.Cm):
+            return ev_of[("cm", node.id, node.prime)]
+        if isinstance(node, ex.Const):
+            return ev_of[("const", node.id, node.prime)]
+        if isinstance(node, ex.Challenge):
+            return challenges[node.idx]
+        if isinstance(node, ex.Public):
+            # publics are u64-range field values carried as circuit publics
+            return [PUBS[node.idx], _zero(s), _zero(s)]
+        if isinstance(node, ex.X):
+            return xi
+        raise TypeError(f"unbound node {type(node)} in c_combined")
+
+    c_at_xi = _eval_dag(s, s0.c_combined, bind_main)
+
+    # xi^n by repeated squaring
+    xi_pow = xi
+    for _ in range(s0.n_bits):
+        xi_pow = gd.gl3_mul(s, xi_pow, xi_pow)
+    q_at_xi = _const3(s, 0)
+    acc = _const3(s, 1)
+    for pi, qid in enumerate(s0.q_ids):
+        term = gd.gl3_mul(s, acc, ev_of[("cm", qid, False)])
+        q_at_xi = gd.gl3_add(s, q_at_xi, term)
+        if pi + 1 < len(s0.q_ids):
+            acc = gd.gl3_mul(s, acc, xi_pow)
+    zh = gd.gl3_sub(s, xi_pow, _const3(s, 1))
+    gd.gl3_assert_eq(s, c_at_xi, gd.gl3_mul(s, q_at_xi, zh))
+
+    # ---- 3+4. Merkle openings and the FRI chain ------------------------
+    w_ext = gl.w(steps[0])
+    shift = gl.shift()
+    col_of = dict(enumerate(s0.cols))
+
+    for qi, y0 in enumerate(ys):
+        qrow = proof.fri[0].queries[qi]
+        # allocate + range-check the five tree rows, verify each path
+        tree_sigs = []
+        for ti in range(5):
+            mq = qrow[ti]
+            row_sigs = [alloc_gl(v) for v in np.asarray(mq.values)]
+            sib_sigs = [[s.alloc(int(x)) for x in np.asarray(level)]
+                        for level in mq.siblings]
+            root_sig = roots[ti] if ti < 4 else VK
+            _merkle_path(s, row_sigs, sib_sigs, y0, root_sig)
+            tree_sigs.append(row_sigs)
+
+        x_c = shift * pow(w_ext, y0, rm.P) % rm.P
+
+        def bind_fri(node, _tree_sigs=tree_sigs, _x=x_c):
+            if isinstance(node, ex.Cm):
+                assert not node.prime
+                info = col_of[node.id]
+                vals = _tree_sigs[info.stage - 1]
+                if info.dim == 1:
+                    return [vals[info.pos], _zero(s), _zero(s)]
+                return vals[info.pos:info.pos + 3]
+            if isinstance(node, ex.Const):
+                assert not node.prime
+                return [_tree_sigs[4][node.id], _zero(s), _zero(s)]
+            if isinstance(node, ex.Challenge):
+                return challenges[node.idx]
+            if isinstance(node, ex.Public):
+                return [PUBS[node.idx], _zero(s), _zero(s)]
+            if isinstance(node, ex.X):
+                return _const3(s, _x)
+            if isinstance(node, ex.Eval):
+                return evals[node.idx]
+            if isinstance(node, ex.XDivXSubXi):
+                d = gd.gl3_sub(s, _const3(s, _x), xi)
+                return gd.gl3_muls(s, gd.gl3_inv(s, d), _x)
+            if isinstance(node, ex.XDivXSubWXi):
+                wxi = gd.gl3_muls(s, xi, gl.w(s0.n_bits))
+                d = gd.gl3_sub(s, _const3(s, _x), wxi)
+                return gd.gl3_muls(s, gd.gl3_inv(s, d), _x)
+            raise TypeError(f"unbound node {type(node)} in fri_exp")
+
+        value = _eval_dag(s, s0.fri_exp, bind_fri)
+
+        # FRI fold chain
+        y_prev = y0
+        for si in range(1, len(steps)):
+            y = y0 % (1 << steps[si])
+            mq = proof.fri[si].queries[qi]
+            group = np.asarray(mq.values).reshape(-1, 3)
+            group_sigs = [[alloc_gl(v) for v in row] for row in group]
+            sib_sigs = [[s.alloc(int(x)) for x in np.asarray(level)]
+                        for level in mq.siblings]
+            _merkle_path(s, [x for row in group_sigs for x in row],
+                         sib_sigs, y, fri_roots[si - 1])
+            pos_in_group = y_prev >> steps[si]
+            gd.gl3_assert_eq(s, group_sigs[pos_in_group], value)
+            value = _fold_gadget(s, group_sigs, steps[si - 1], steps[si],
+                                 y, special_xs[si], s0.n_bits_ext)
+            y_prev = y
+        y_last = y0 % (1 << steps[-1])
+        gd.gl3_assert_eq(s, final_pol[y_last], value)
+
+    # ---- 5. final polynomial low-degree --------------------------------
+    last_bits = steps[-1]
+    max_deg = 1 << (last_bits - (s0.n_bits_ext - s0.n_bits))
+    m = 1 << last_bits
+    w_last = gl.w(last_bits)
+    w_inv = pow(w_last, rm.P - 2, rm.P)
+    n_inv = pow(m, rm.P - 2, rm.P)
+    for k in range(max_deg, m):
+        for limb in range(3):
+            terms = [(pow(w_inv, (j * k) % m, rm.P) * n_inv % rm.P,
+                      final_pol[j][limb]) for j in range(m)]
+            gd.gl_assert_zero(s, gd.gl_lincomb(s, terms))
+
+    r1cs, w = s.finish()
+    return r1cs, w, [verkey_i] + [int(p) for p in proof.publics]
+
+
+_zero_cache: dict = {}
+
+
+def _zero(s: Synthesizer) -> int:
+    z = _zero_cache.get(id(s))
+    if z is None:
+        z = s.alloc(0)
+        s.b.constrain({z: 1}, {0: 1}, {0: 0})
+        _zero_cache[id(s)] = z
+    return z
+
+
+def _fold_gadget(s: Synthesizer, group_sigs, from_bits, to_bits, g,
+                 special_x, n_bits_ext):
+    """verifier._fold_point with gadget arithmetic (tiny INTT as
+    constant-coefficient lincombs, then Horner in the special point)."""
+    n_x = 1 << (from_bits - to_bits)
+    w_sub = gl.w(from_bits - to_bits)
+    w_sub_inv = pow(w_sub, rm.P - 2, rm.P)
+    n_inv = pow(n_x, rm.P - 2, rm.P)
+    coefs = []
+    for j in range(n_x):
+        limbs = []
+        for limb in range(3):
+            terms = [(pow(w_sub_inv, (k * j) % n_x, rm.P) * n_inv % rm.P,
+                      group_sigs[k][limb]) for k in range(n_x)]
+            limbs.append(gd.gl_lincomb(s, terms))
+        coefs.append(limbs)
+    s_inv = pow(gl.shift_inv(), 1 << (n_bits_ext - from_bits), rm.P)
+    sg = s_inv * pow(pow(gl.w(from_bits), rm.P - 2, rm.P), g, rm.P) % rm.P
+    factor = gd.gl3_muls(s, special_x, sg)
+    acc = _const3(s, 0)
+    for c in reversed(coefs):
+        acc = gd.gl3_add(s, gd.gl3_mul(s, acc, factor), c)
+    return acc
+
+
+def _host_queries(setup, verkey_i: int, proof) -> list[int]:
+    """Host-side transcript replay to learn the query indices the circuit
+    will pin (the specialization values)."""
+    from ..ops.transcript_bn128 import TranscriptBN128
+
+    t = TranscriptBN128()
+    t.put([verkey_i])
+    t.put(proof.publics)
+    t.put([int(proof.roots[0])])
+    t.get_field3(); t.get_field3()
+    t.put([int(proof.roots[1])])
+    t.get_field3(); t.get_field3()
+    t.put([int(proof.roots[2])])
+    t.get_field3()
+    t.put([int(proof.roots[3])])
+    t.get_field3()
+    for e in proof.evals:
+        t.put(list(e))
+    t.get_field3(); t.get_field3()
+    steps = list(setup.fri_steps)
+    for si in range(len(steps)):
+        t.get_field3()
+        if si < len(steps) - 1:
+            t.put([int(proof.fri[si + 1].root)])
+        else:
+            for row in np.asarray(proof.final_pol):
+                t.put([int(v) for v in row])
+    return t.get_permutations(setup.n_queries, steps[0])
