@@ -103,7 +103,7 @@ def _storage_rom():
     return _cache["srom"]
 
 
-STORAGE_INCLUDE = ("storage", "poseidon_g")
+STORAGE_INCLUDE = ("storage", "poseidon_g", "climb_key")
 
 
 def _storage_prover():

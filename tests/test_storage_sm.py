@@ -97,6 +97,59 @@ def test_storage_rejects_tampering():
     assert prover.check_constraints(t) != []
 
 
+def test_storage_climb_key_binding():
+    """The no-wrap leg: every climb-down step must be a ClimbKey op.
+
+    Composed storage+climb_key AIR with the same lookup the batch AIR
+    declares (executor/combined.py); a storage trace claiming a key
+    transition absent from the ClimbKey table is rejected.
+    """
+    import jax
+
+    from zkevm_prover_tpu.executor.sm import climb_key
+    from zkevm_prover_tpu.stark import expr as ex
+    from zkevm_prover_tpu.stark.compose import CombinedAIR
+
+    # shallow divergence (path bit 0) keeps the climb count inside the
+    # 2^9 ClimbKey domain (32 clocks per op at 2-bit chunks)
+    smt = Smt(Database())
+    kA, kB = (2, 0, 0, 0), (3, 0, 0, 0)
+    acts = []
+    r = (0, 0, 0, 0)
+    for key, val in ((kA, 5), (kB, 6)):
+        res = smt.set(r, key, val)
+        acts.append({"op": "set", "root": r, "key": key, "value": val,
+                     "new_root": res.new_root})
+        r = res.new_root
+    g = smt.get(r, kA)
+    acts.append({"op": "get", "root": r, "key": kA, "value": g.value})
+    st_tr, emitted = storage.execute(acts, N_BITS, smt.db)
+    ck_tr = climb_key.execute(emitted["climb_key"], N_BITS)
+
+    air = CombinedAIR("st_ck", N_BITS)
+    air.add("storage", storage.build_air(N_BITS))
+    air.add("climb_key", climb_key.build_air(N_BITS))
+    f = ([ex.Cm(air.cm("storage", f"RKEY{j}").id, True) for j in range(4)]
+         + [air.cm("storage", "LEVEL"), air.cm("storage", "BIT")])
+    t = ([air.cm("climb_key", f"KEY{j}") for j in range(4)]
+         + [air.cm("climb_key", "LEVEL"), air.cm("climb_key", "BIT")])
+    air.lookup(f, t, sel_f=1 - air.cm("storage", "LAST"),
+               sel_t=air.const("climb_key", "ISLAST"))
+
+    prover = StarkProver(StarkSetup(air, n_queries=8, fri_fold_bits=2))
+    stacked = air.stack_traces({"storage": st_tr, "climb_key": ck_tr})
+    with jax.disable_jit():
+        bad = prover.check_constraints(stacked)
+    assert bad == [], f"violated constraints: {bad}"
+
+    # drop one ClimbKey op: the storage climb that used it has no partner
+    assert emitted["climb_key"], "test needs at least one climb"
+    ck_tr2 = climb_key.execute(emitted["climb_key"][1:], N_BITS)
+    stacked = air.stack_traces({"storage": st_tr, "climb_key": ck_tr2})
+    with jax.disable_jit():
+        assert "plookup" in prover.check_constraints(stacked)
+
+
 def test_storage_values_roundtrip():
     smt, acts = _actions()
     # get on KEY2 returned the value written by the second set

@@ -35,9 +35,10 @@ import numpy as np
 
 from ..stark import expr as ex
 from ..stark.compose import CombinedAIR
-from .sm import binary, main_sm, memory, poseidon_g, storage
+from .sm import binary, climb_key, main_sm, memory, poseidon_g, storage
 
-DEFAULT_INCLUDE = ("memory", "binary", "storage", "poseidon_g")
+DEFAULT_INCLUDE = ("memory", "binary", "storage", "poseidon_g",
+                   "climb_key")
 
 
 def build_batch_air(rom, n_bits: int,
@@ -55,6 +56,8 @@ def build_batch_air(rom, n_bits: int,
         air.add("storage", storage.build_air(n_bits))
     if "poseidon_g" in include:
         air.add("poseidon_g", poseidon_g.build_air(n_bits))
+    if "climb_key" in include:
+        air.add("climb_key", climb_key.build_air(n_bits))
 
     Z = ex.Number(0)
 
@@ -158,6 +161,20 @@ def build_batch_air(rom, n_bits: int,
         air.lookup(f, t, sel_f=srd + swr,
                    sel_t=air.cm("storage", "START")
                    * air.cm("storage", "OACT"))
+
+    if "climb_key" in include and "storage" in include:
+        # every storage climb-down step's (child key, level, bit) must be a
+        # ClimbKey operation — the no-wrap guarantee the storage AIR's
+        # modular climb equation cannot give by itself
+        def nxt(sm, col):
+            return ex.Cm(air.cm(sm, col).id, True)
+
+        f = ([nxt("storage", f"RKEY{j}") for j in range(4)]
+             + [air.cm("storage", "LEVEL"), air.cm("storage", "BIT")])
+        t = ([air.cm("climb_key", f"KEY{j}") for j in range(4)]
+             + [air.cm("climb_key", "LEVEL"), air.cm("climb_key", "BIT")])
+        air.lookup(f, t, sel_f=1 - air.cm("storage", "LAST"),
+                   sel_t=air.const("climb_key", "ISLAST"))
     return air
 
 
@@ -190,4 +207,7 @@ def execute_batch(rom, n_bits: int, input: dict | None = None, smt=None,
     if "poseidon_g" in include:
         traces["poseidon_g"] = poseidon_g.execute(
             res.actions.poseidon_g, n_bits)
+    if "climb_key" in include:
+        traces["climb_key"] = climb_key.execute(
+            res.actions.climb_key, n_bits)
     return res, traces
