@@ -139,9 +139,39 @@ def mul_gl(a_lo, a_hi, b_lo, b_hi):
     return reduce128(*mul64(a_lo, a_hi, b_lo, b_hi))
 
 
+def mul_small(a_lo, a_hi, c: int):
+    """a · c as three u32 limbs (c static, 0 <= c < 2^16) — for the
+    small-integer circulant MDS accumulation (values up to 2^80).
+
+    With c < 2^16 the cross products of mul32 vanish (b1 = 0), so each
+    32-bit limb costs two 16x16 multiplies.
+    """
+    if c == 0:
+        z = jnp.zeros_like(a_lo)
+        return z, z, z
+    if c == 1:
+        return a_lo, a_hi, jnp.zeros_like(a_lo)
+    if c & (c - 1) == 0 and c.bit_length() - 1 <= 16:
+        return shift_gl(a_lo, a_hi, c.bit_length() - 1)[:3]
+    cc = np.uint32(c)
+    l0 = (a_lo & U16) * cc
+    l1 = (a_lo >> np.uint32(16)) * cc
+    h0 = (a_hi & U16) * cc
+    h1 = (a_hi >> np.uint32(16)) * cc
+    # r = l0 + l1·2^16 + h0·2^32 + h1·2^48, all terms < 2^32
+    r0 = l0 + (l1 << np.uint32(16))
+    c0 = _b2u(r0 < l0)
+    r1 = h0 + (l1 >> np.uint32(16)) + c0
+    # no carry: h0 < 2^32 - 2^16 and the addends are < 2^16 + 1
+    r1b = r1 + (h1 << np.uint32(16))
+    c1 = _b2u(r1b < r1)
+    r2 = (h1 >> np.uint32(16)) + c1
+    return r0, r1b, r2
+
+
 def shift_gl(a_lo, a_hi, e: int):
     """a · 2^e as four u32 limbs (e static, 0 <= e <= 16) — for the
-    power-of-two MDS accumulation (values up to 2^80)."""
+    power-of-two fast paths (values up to 2^80)."""
     if e == 0:
         z = jnp.zeros_like(a_lo)
         return a_lo, a_hi, z, z

@@ -19,6 +19,16 @@ from . import poseidon_bn128 as pbn
 ARITY = 16
 
 
+def _leaf_hash(row) -> int:
+    """Leaf for one source row: width <= 4 packs the raw GL limbs into a
+    single Fr with no hash (reference linearHash else-branch,
+    merkleTreeBN128.cpp:142-151); wider rows pack 3-per-Fr and sponge."""
+    vals = [int(v) for v in row]
+    if len(vals) <= 4:
+        return pbn.pack_gl_row(vals)
+    return pbn.linear_hash_fr(pbn.pack_gl(vals))
+
+
 @dataclasses.dataclass
 class MerkleTreeBN128:
     source: np.ndarray        # (H, W) uint64 GL values
@@ -29,10 +39,7 @@ class MerkleTreeBN128:
         src = np.asarray(source)
         h = src.shape[0]
         assert h & (h - 1) == 0, "height must be a power of two"
-        leaves = [
-            pbn.linear_hash_fr(pbn.pack_gl([int(v) for v in src[i]]))
-            for i in range(h)
-        ]
+        leaves = [_leaf_hash(src[i]) for i in range(h)]
         levels = [leaves]
         while len(levels[-1]) > 1:
             cur = levels[-1]
@@ -68,7 +75,7 @@ class MerkleTreeBN128:
 
 
 def verify_group_proof(root: int, idx: int, row, siblings) -> bool:
-    node = pbn.linear_hash_fr(pbn.pack_gl([int(v) for v in row]))
+    node = _leaf_hash(row)
     i = idx
     for sibs in siblings:
         pos = i % ARITY

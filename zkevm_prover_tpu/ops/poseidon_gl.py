@@ -45,33 +45,35 @@ def _tables(source: str):
 
 
 @functools.lru_cache(maxsize=4)
-def _mds_shifts(source: str):
-    """If every MDS entry is a power of two, the exponent matrix (host);
-    else None — selects the shift-add fast path below."""
+def _mds_coeffs(source: str):
+    """If every MDS entry is a small integer (<= 2^16 — true for the
+    reference circulant, max entry 41, and the power-of-two test set), the
+    coefficient matrix (host); else None — selects the fast path below."""
     _, M = _tables_host(source)
-    exps = np.zeros_like(M, dtype=np.int64)
+    coeffs = np.zeros_like(M, dtype=np.int64)
     for i in range(WIDTH):
         for j in range(WIDTH):
             v = int(M[i, j])
-            if v == 0 or (v & (v - 1)) or v.bit_length() > 17:
+            if v == 0 or v > (1 << 16):
                 return None
-            exps[i, j] = v.bit_length() - 1
-    return exps
+            coeffs[i, j] = v
+    return coeffs
 
 
-def _mds_pow2(s, exps):
-    """MDS multiply for power-of-two matrices: split each input lane into
-    u32 halves, accumulate shifted halves (max 12·2^48 < 2^53, no overflow),
-    recombine as a 128-bit value and reduce. ~12 shift-adds per output lane
-    instead of 12 full 64x64 field multiplies."""
+def _mds_small(s, coeffs):
+    """MDS multiply for small-integer matrices: split each input lane into
+    u32 halves, accumulate coefficient-scaled halves (max 12·2^16·2^32 <
+    2^53, no u64 overflow), recombine as a 128-bit value and reduce.
+    12 integer multiply-adds per output lane instead of 12 full 64x64
+    field multiplies."""
     lo = s & np.uint64(0xFFFFFFFF)
     hi = s >> np.uint64(32)
     acc_lo = jnp.zeros_like(s)
     acc_hi = jnp.zeros_like(s)
     for j in range(WIDTH):
-        sh = jnp.asarray(exps[:, j].astype(np.uint64))  # out-lane shifts
-        acc_lo = acc_lo + (lo[..., j, None] << sh)
-        acc_hi = acc_hi + (hi[..., j, None] << sh)
+        cj = jnp.asarray(coeffs[:, j].astype(np.uint64))  # out-lane coeffs
+        acc_lo = acc_lo + lo[..., j, None] * cj
+        acc_hi = acc_hi + hi[..., j, None] * cj
     # total = acc_lo + acc_hi·2^32 with acc_lo, acc_hi < 2^53
     lo64 = acc_lo + (acc_hi << np.uint64(32))
     carry = (lo64 < acc_lo).astype(jnp.uint64)
@@ -114,12 +116,12 @@ def _modsum_last(x):
 def permute(state):
     """Poseidon permutation over (..., 12) uint64 states.
 
-    On TPU with the power-of-two MDS this dispatches to the Pallas kernel
-    (ops/poseidon_pallas.py: whole permutation in VMEM on u32 limb pairs,
-    ~2.2x the XLA path on v5e). The XLA path below is the fallback (CPU,
-    generic loaded MDS): rounds under lax.fori_loop (4 full / 22 partial /
-    4 full) — a fully unrolled graph compiles pathologically slowly on the
-    CPU backend.
+    On TPU with a small-integer MDS (the reference circulant) this
+    dispatches to the Pallas kernel (ops/poseidon_pallas.py: whole
+    permutation in VMEM on u32 limb pairs, ~2.2x the XLA path on v5e). The
+    XLA path below is the fallback (CPU, generic loaded MDS): rounds under
+    lax.fori_loop (4 full / 22 partial / 4 full) — a fully unrolled graph
+    compiles pathologically slowly on the CPU backend.
     """
     if (state.ndim == 2 and state.shape[0] >= PALLAS_MIN_BATCH
             and _pallas_wanted()):
@@ -129,11 +131,11 @@ def permute(state):
             return pp.permute(state)
     C, M = _tables(pc.source())
     half = pc.ROUNDS_F // 2
-    exps = _mds_shifts(pc.source())
+    coeffs = _mds_coeffs(pc.source())
 
-    if exps is not None:
+    if coeffs is not None:
         def mds(s):
-            return _mds_pow2(s, exps)
+            return _mds_small(s, coeffs)
     else:
         def mds(s):
             # generic MDS: out_i = sum_j M[i][j] * s_j (e.g. loaded reference

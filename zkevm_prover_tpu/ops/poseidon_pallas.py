@@ -7,11 +7,13 @@ loop body materializes the state in HBM every iteration).
 
 Layout: states ride the LANE axis — arrays are (12, B) with the batch on
 lanes (multiples of 128) and the 12 state rows on sublanes; the MDS mixes
-rows with statically unrolled shift-adds (power-of-two circulant, see
-ops/poseidon_constants.MDS_SHIFTS) accumulated in three u32 limbs.
+rows with statically unrolled small-constant multiply-adds (the reference
+circulant+diag, ops/poseidon_constants.MDS_CIRC) accumulated in three u32
+limbs.
 
-Requires the power-of-two MDS (the default constant set); loaded constant
-sets with a generic MDS fall back to the XLA path in poseidon_gl.
+Requires a small-integer MDS (true of the reference circulant, max entry
+41); loaded constant sets with a generic MDS fall back to the XLA path in
+poseidon_gl.
 """
 
 from __future__ import annotations
@@ -51,14 +53,15 @@ def _sbox7(lo, hi):
     return g32.mul_gl(x6l, x6h, lo, hi)
 
 
-def _mds_rows(lo, hi, exps):
-    """Power-of-two circulant MDS on lists of 12 row-vector limb pairs."""
+def _mds_rows(lo, hi, coeffs):
+    """Small-integer MDS on lists of 12 row-vector limb pairs (entries are
+    static ints <= 2^16 — the reference circulant's max entry is 41)."""
     out_lo, out_hi = [], []
     zero = jnp.zeros_like(lo[0])
     for i in range(WIDTH):
         a0 = a1 = a2 = zero
         for j in range(WIDTH):
-            r0, r1, r2, _ = g32.shift_gl(lo[j], hi[j], int(exps[i, j]))
+            r0, r1, r2 = g32.mul_small(lo[j], hi[j], int(coeffs[i, j]))
             a0, a1, a2 = _acc3_add(a0, a1, a2, r0, r1, r2)
         rl, rh = g32.reduce128(a0, a1, a2, zero)
         out_lo.append(rl)
@@ -124,18 +127,37 @@ def _make_kernel(exps: np.ndarray, half: int, rp: int, n_rounds: int):
     return kernel
 
 
-def _make_kernel_2d(exps_row: np.ndarray, half: int, rp: int,
+def _circ_diag(coeffs: np.ndarray):
+    """Decompose M as circulant + diagonal (M[i][j] = circ[(j-i)%12] +
+    diag[i]·δ_ij — the reference MDS shape); None if M isn't that shape."""
+    circ = [int(coeffs[1, (k + 1) % WIDTH]) for k in range(WIDTH)]
+    diag = [int(coeffs[i, i]) - circ[0] for i in range(WIDTH)]
+    if diag[1] != 0:
+        return None
+    for i in range(WIDTH):
+        if diag[i] < 0:
+            return None
+        for j in range(WIDTH):
+            want = circ[(j - i) % WIDTH] + (diag[i] if i == j else 0)
+            if int(coeffs[i, j]) != want:
+                return None
+    return circ, diag
+
+
+def _make_kernel_2d(circ: list, diag: list, half: int, rp: int,
                     n_rounds: int):
     """Whole-state (12, TB) formulation — one VPU op covers all rows.
 
     The 1-D kernel drives each of the 12 state rows as a separate (TB,)
     vector, using 1/8 of the VPU's sublane parallelism. Here the state is
-    a single (12, TB) tile and the circulant MDS becomes 12 uniform-shift
-    terms over sublane-rotated copies (out_i = Σ_k 2^{e_k}·s_{(i+k)%12},
-    realized as static slices of the doubled state), so the MDS costs 12
-    vector ops instead of 144 and the S-box runs on the full tile.
+    a single (12, TB) tile and the circulant MDS becomes 12 uniform
+    multiply terms over sublane-rotated copies (out_i = Σ_k c_k·s_{(i+k)%12},
+    realized as static slices of the doubled state) plus one masked
+    diagonal term, so the MDS costs ~13 vector ops instead of 144 and the
+    S-box runs on the full tile.
     """
-    e0 = [int(v) for v in exps_row]
+    e0 = [int(v) for v in circ]
+    dg = [int(v) for v in diag]
 
     def kernel(lo_ref, hi_ref, clo_ref, chi_ref, olo_ref, ohi_ref):
         CLO = pltpu.bitcast(clo_ref[:], jnp.int32)   # (12, 32)
@@ -166,9 +188,25 @@ def _make_kernel_2d(exps_row: np.ndarray, half: int, rp: int,
                 zero = jnp.zeros_like(lo)
                 a0 = a1 = a2 = zero
                 for k in range(WIDTH):
-                    r0, r1, r2, _ = g32.shift_gl(
+                    r0, r1, r2 = g32.mul_small(
                         ssl[k:k + WIDTH], ssh[k:k + WIDTH], e0[k])
                     a0, a1, a2 = _acc3_add(a0, a1, a2, r0, r1, r2)
+                if any(dg):
+                    # diagonal term: diag[i]·s_i, nonzero rows only (the
+                    # reference has a single +8 at row 0)
+                    row = jax.lax.broadcasted_iota(
+                        jnp.int32, lo.shape, 0)
+                    for i, d in enumerate(dg):
+                        if d == 0:
+                            continue
+                        r0, r1, r2 = g32.mul_small(lo, hi, d)
+                        sel = row == i
+                        z = jnp.zeros_like(r0)
+                        a0, a1, a2 = _acc3_add(
+                            a0, a1, a2,
+                            jnp.where(sel, r0, z),
+                            jnp.where(sel, r1, z),
+                            jnp.where(sel, r2, z))
                 lo, hi = g32.reduce128(a0, a1, a2, zero)
                 return pltpu.roll(oh, np.int32(1), axis=1), lo, hi
 
@@ -252,8 +290,8 @@ BLOCK_LANES = 2048  # lanes per grid step in blocked mode (16384 states)
 
 @functools.lru_cache(maxsize=4)
 def _permute_call(source: str, interpret: bool, mode: str = "1d"):
-    exps = pgl._mds_shifts(source)
-    if exps is None:
+    coeffs = pgl._mds_coeffs(source)
+    if coeffs is None:
         return None  # generic MDS: no pallas path
     C, _ = pgl._tables_host(source)
     cpad = np.zeros((WIDTH, ROUND_PAD), dtype=np.uint64)
@@ -261,7 +299,7 @@ def _permute_call(source: str, interpret: bool, mode: str = "1d"):
     clo = (cpad & 0xFFFFFFFF).astype(np.uint32)
     chi = (cpad >> 32).astype(np.uint32)
     if mode == "blocked":
-        kernel = _make_kernel_blocked(np.asarray(exps), pc.ROUNDS_F // 2,
+        kernel = _make_kernel_blocked(np.asarray(coeffs), pc.ROUNDS_F // 2,
                                       pc.ROUNDS_P, pc.N_ROUNDS,
                                       BLOCK_LANES)
 
@@ -295,10 +333,13 @@ def _permute_call(source: str, interpret: bool, mode: str = "1d"):
 
         return run
     if mode == "2d":
-        kernel = _make_kernel_2d(np.asarray(exps)[0], pc.ROUNDS_F // 2,
+        cd = _circ_diag(np.asarray(coeffs))
+        if cd is None:
+            return None  # 2d needs the circulant+diag shape
+        kernel = _make_kernel_2d(cd[0], cd[1], pc.ROUNDS_F // 2,
                                  pc.ROUNDS_P, pc.N_ROUNDS)
     else:
-        kernel = _make_kernel(np.asarray(exps), pc.ROUNDS_F // 2,
+        kernel = _make_kernel(np.asarray(coeffs), pc.ROUNDS_F // 2,
                               pc.ROUNDS_P, pc.N_ROUNDS)
 
     def run(lo, hi):  # (12, B) u32 each, B % TB == 0
@@ -345,7 +386,7 @@ def permute(states, *, interpret: bool = False):
     xt = x.T  # (12, H+pad)
     lo, hi = g32.split_u64(xt)
     run = _permute_call(pc.source(), interpret, MODE)
-    assert run is not None, "pallas path requires the power-of-two MDS"
+    assert run is not None, "pallas path requires a small-integer MDS"
     if MODE == "blocked":
         # fold the batch onto sublanes: (12, B) -> (12, 8, B/8) -> (96, B/8)
         b = lo.shape[1]

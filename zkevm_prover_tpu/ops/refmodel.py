@@ -158,5 +158,25 @@ class Poseidon:
             digest = self.permute(chunk + digest)[:4]
         return digest
 
+    @staticmethod
+    def pack_bytes(data: bytes) -> list[int]:
+        """Reference byte padding for the linear poseidon over bytes
+        (padding_pg_executor.cpp:38-41): append 0x01, zero-fill to a
+        multiple of 56, OR 0x80 into the final byte; pack 7 bytes per
+        field element little-endian (bytesPerElement=7, nElements=8)."""
+        padded = bytearray(data)
+        padded.append(0x01)
+        while len(padded) % 56:
+            padded.append(0)
+        padded[-1] |= 0x80
+        return [int.from_bytes(padded[off:off + 7], "little")
+                for off in range(0, len(padded), 7)]
+
+    def linear_hash_bytes(self, data: bytes):
+        """The hashP digest (reference hashContractBytecode / PaddingPG):
+        pad+pack bytes, then the chunk-of-8 sponge with the previous
+        digest in the capacity lanes."""
+        return self.linear_hash(self.pack_bytes(data))
+
     def hash_pair(self, left4, right4):
         return self.permute(list(left4) + list(right4) + [0, 0, 0, 0])[:4]
