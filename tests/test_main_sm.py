@@ -128,8 +128,11 @@ def test_free_input_command_and_memory_ops():
     rom, res = _run(body)
     assert _col(res, "D0")[3] == 42  # set by line 2, visible at row 3
     assert len(res.actions.memory) == 3
+    # values are carried as raw fea limbs (MSTORE writes op verbatim,
+    # which may hold arbitrary field elements)
     assert res.actions.memory[0] == {
-        "addr": 5, "step": 1, "wr": True, "value": val}
+        "addr": 5, "step": 1, "wr": True,
+        "fea": tuple((val >> (32 * l)) & 0xFFFFFFFF for l in range(8))}
     assert res.actions.memory[2]["wr"] is False
     got_c = [int(_col(res, f"C{l}")[7]) for l in range(8)]
     assert got_c == [(val >> (32 * l)) & 0xFFFFFFFF for l in range(8)]

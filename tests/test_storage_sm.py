@@ -129,7 +129,10 @@ def test_storage_climb_key_binding():
     air = CombinedAIR("st_ck", N_BITS)
     air.add("storage", storage.build_air(N_BITS))
     air.add("climb_key", climb_key.build_air(N_BITS))
-    f = ([ex.Cm(air.cm("storage", f"RKEY{j}").id, True) for j in range(4)]
+    # f side: the CURRENT row's RKEY is the post-climb key (the storage AIR
+    # already pins RKEY = 2·RKEY' + BIT in-row; the ClimbKey table's ISLAST
+    # row carries the post-climb key proving the climb didn't wrap p)
+    f = ([air.cm("storage", f"RKEY{j}") for j in range(4)]
          + [air.cm("storage", "LEVEL"), air.cm("storage", "BIT")])
     t = ([air.cm("climb_key", f"KEY{j}") for j in range(4)]
          + [air.cm("climb_key", "LEVEL"), air.cm("climb_key", "BIT")])

@@ -25,6 +25,14 @@ MASK256 = (1 << 256) - 1
 FPEC = 0xFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFEFFFFFC2F
 FNEC = 0xFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFEBAAEDCE6AF48A03BBFD25E8CD0364141
 
+# BN254 (alt_bn128) base field, for the ARITH_BN254_* / fpBN254inv /
+# fp2InvBN254 free-input helpers (ref eval_command.cpp:3416-3801, RawFq)
+FQBN = 21888242871839275222246405745257275088696311157297823662689037894645226208583
+
+# Mock SMT-proof leaf returned when input.bSkipVerifyL1InfoRoot is set
+# (ref eval_command.cpp:2689 MOCK_VALUE_SMT_PROOF)
+MOCK_VALUE_SMT_PROOF = 0xD4E56740F876AEF8C010B86A40D5F56745A118D0906A34E69AEC8C0DB1CB8FA3
+
 
 class CommandError(Exception):
     pass
@@ -87,6 +95,13 @@ def _op_get_reg(ctx, cmd):
 
 def _op_function_call(ctx, cmd):
     name = cmd["funcName"]
+    if name == "eventLog":
+        # params are event-tag ASTs (e.g. getVar onStartBatch), consumed
+        # raw by FullTracer::handleEvent (eval_command.cpp eval_eventLog)
+        tracer = getattr(ctx, "full_tracer", None)
+        if tracer is not None:
+            tracer.handle_event(ctx, cmd)
+        return (0,) * 8
     fn = FUNCS.get(name)
     if fn is None:
         raise CommandError(f"unimplemented function {name!r}")
@@ -248,6 +263,187 @@ def _f_y_add_point_ec(ctx, params):
     return _ec_add(x1, y1, x2, y2)[1]
 
 
+# -- multi-precision division (MPdiv family) ---------------------------------
+#
+# The ROM divides big integers held in memory as little-endian arrays of
+# 256-bit words.  The reference implements schoolbook long division over
+# base-2^256 limbs (eval_command.cpp:2980-3028 _MPdiv, :3029-3049
+# _MPdiv_short) and parks quotient/remainder in ctx for the receive* calls.
+# Exact arbitrary-precision ints make the limb dance unnecessary: divide,
+# then re-limb.  `trim` semantics (eval_command.cpp:2785): zero == [].
+
+def _mp_limbs(v: int) -> list[int]:
+    out = []
+    while v:
+        out.append(v & MASK256)
+        v >>= 256
+    return out
+
+
+def _read_mp(ctx, addr: int, length: int) -> int:
+    out = 0
+    for i in range(length):
+        out |= ctx.get_mem_raw(addr + i) << (256 * i)
+    return out
+
+
+def _f_mpdiv(ctx, params):
+    addr1, len1, addr2, len2 = (_scalar(p) for p in params)
+    a = _read_mp(ctx, addr1, len1)
+    b = _read_mp(ctx, addr2, len2)
+    if b == 0:
+        raise CommandError("MPdiv: division by zero")
+    ctx.mp_quotient = _mp_limbs(a // b)
+    ctx.mp_remainder = _mp_limbs(a % b)
+    return 0
+
+
+def _f_mpdiv_short(ctx, params):
+    addr1, len1, b = (_scalar(p) for p in params)
+    a = _read_mp(ctx, addr1, len1)
+    if b == 0:
+        raise CommandError("MPdiv_short: division by zero")
+    ctx.mp_quotient_short = _mp_limbs(a // b)
+    ctx.mp_remainder_short = a % b
+    return 0
+
+
+def _f_receive_len(ctx, params):
+    # max floor(log2(k)) over non-zero params (eval_command.cpp:3380-3413)
+    length = 0
+    for p in params:
+        k = _scalar(p)
+        if k:
+            length = max(length, k.bit_length() - 1)
+    return length
+
+
+def _mp_chunk(limbs: list[int], pos: int, what: str) -> int:
+    if pos >= len(limbs):
+        raise CommandError(f"{what}: position {pos} >= len {len(limbs)}")
+    return limbs[pos]
+
+
+# -- BN254 base-field / Fp2 helpers (ref eval_command.cpp ARITH_BN254_*) -----
+
+def _f_bn254_addfp2(ctx, params):
+    # 2 params — one Fp2 component per call (the ROM invokes it for x and y
+    # separately; ref eval_command.cpp eval_ARITH_BN254_ADDFP2)
+    x1, x2 = (_scalar(p) % FQBN for p in params)
+    return (x1 + x2) % FQBN
+
+
+def _f_bn254_subfp2(ctx, params):
+    x1, x2 = (_scalar(p) % FQBN for p in params)
+    return (x1 - x2) % FQBN
+
+
+def _f_bn254_mulfp2_x(ctx, params):
+    x1, y1, x2, y2 = (_scalar(p) % FQBN for p in params)
+    return (x1 * x2 - y1 * y2) % FQBN
+
+
+def _f_bn254_mulfp2_y(ctx, params):
+    x1, y1, x2, y2 = (_scalar(p) % FQBN for p in params)
+    return (x1 * y2 + y1 * x2) % FQBN
+
+
+def _f_fpbn254_inv(ctx, params):
+    a = _scalar(params[0]) % FQBN
+    if a == 0:
+        raise CommandError("fpBN254inv: zero")
+    return pow(a, FQBN - 2, FQBN)
+
+
+def _fp2_inv(x: int, y: int) -> tuple[int, int]:
+    den = (x * x + y * y) % FQBN
+    if den == 0:
+        raise CommandError("fp2InvBN254: zero")
+    d = pow(den, FQBN - 2, FQBN)
+    return (x * d) % FQBN, (-y * d) % FQBN
+
+
+def _f_fp2inv_bn254_x(ctx, params):
+    x, y = (_scalar(p) % FQBN for p in params)
+    return _fp2_inv(x, y)[0]
+
+
+def _f_fp2inv_bn254_y(ctx, params):
+    x, y = (_scalar(p) % FQBN for p in params)
+    return _fp2_inv(x, y)[1]
+
+
+# -- L1 info tree getters (ref eval_command.cpp:2524-2689) -------------------
+#
+# Input schema: ctx.input["l1InfoTree"] = {index: {"globalExitRoot": int,
+# "blockHashL1": int, "minTimestamp": int, "smtProof": [int, ...]}} —
+# mirrors Input::loadGlobals (input.cpp:460-537).
+
+def _scalar_fea(v: int):
+    return tuple((v >> (32 * i)) & 0xFFFFFFFF for i in range(8))
+
+
+def _l1_data(ctx, index: int) -> dict:
+    tree = ctx.input.get("l1InfoTree", {})
+    data = tree.get(index)
+    if data is None:
+        raise CommandError(
+            f"invalid L1 info tree index {index}")  # ZKR_..._INVALID_L1_INFO_TREE_INDEX
+    return data
+
+
+def _f_get_l1_info_root(ctx, params):
+    return _scalar_fea(ctx.input.get("l1InfoRoot", 0))
+
+
+def _f_get_l1_info_ger(ctx, params):
+    return _scalar_fea(_l1_data(ctx, _scalar(params[0]))["globalExitRoot"])
+
+
+def _f_get_l1_info_block_hash(ctx, params):
+    return _scalar_fea(_l1_data(ctx, _scalar(params[0]))["blockHashL1"])
+
+
+def _f_get_l1_info_timestamp(ctx, params):
+    return _scalar_fea(_l1_data(ctx, _scalar(params[0]))["minTimestamp"])
+
+
+def _f_get_timestamp_limit(ctx, params):
+    return _scalar_fea(ctx.input.get("timestampLimit", 0))
+
+
+def _f_get_forced_block_hash_l1(ctx, params):
+    return _scalar_fea(ctx.input.get("forcedBlockHashL1", 0))
+
+
+def _f_get_smt_proof(ctx, params):
+    index, level = (_scalar(p) for p in params)
+    if ctx.input.get("skipVerifyL1InfoRoot", False):
+        return _scalar_fea(MOCK_VALUE_SMT_PROOF)
+    proof = _l1_data(ctx, index).get("smtProof", [])
+    if level >= len(proof):
+        raise CommandError(
+            f"getSmtProof: level {level} >= proof len {len(proof)}")
+    return _scalar_fea(proof[level])
+
+
+# -- FullTracer hooks --------------------------------------------------------
+
+def _f_on_opcode(ctx, params):
+    tracer = getattr(ctx, "full_tracer", None)
+    if tracer is not None:
+        tracer.on_opcode(ctx)
+    return 0
+
+
+def _f_on_update_storage(ctx, params):
+    tracer = getattr(ctx, "full_tracer", None)
+    if tracer is not None:
+        reg_vals = [_scalar(p) for p in params]
+        tracer.on_update_storage(ctx, *reg_vals)
+    return 0
+
+
 def _f_x_dbl_point_ec(ctx, params):
     x1, y1 = (_scalar(p) % FPEC for p in params)
     return _ec_add(x1, y1, x1, y1)[0]
@@ -290,4 +486,47 @@ FUNCS = {
     "yAddPointEc": _f_y_add_point_ec,
     "xDblPointEc": _f_x_dbl_point_ec,
     "yDblPointEc": _f_y_dbl_point_ec,
+    # multi-precision division scratch machine
+    "MPdiv": _f_mpdiv,
+    "MPdiv_short": _f_mpdiv_short,
+    "receiveLen": _f_receive_len,
+    "receiveLenQuotient":
+        lambda ctx, params: len(getattr(ctx, "mp_quotient", [])),
+    "receiveLenRemainder":
+        lambda ctx, params: len(getattr(ctx, "mp_remainder", [])),
+    "receiveQuotientChunk":
+        lambda ctx, params: _mp_chunk(getattr(ctx, "mp_quotient", []),
+                                      _scalar(params[0]),
+                                      "receiveQuotientChunk"),
+    "receiveRemainderChunk":
+        lambda ctx, params: _mp_chunk(getattr(ctx, "mp_remainder", []),
+                                      _scalar(params[0]),
+                                      "receiveRemainderChunk"),
+    "receiveLenQuotient_short":
+        lambda ctx, params: len(getattr(ctx, "mp_quotient_short", [])),
+    "receiveQuotientChunk_short":
+        lambda ctx, params: _mp_chunk(getattr(ctx, "mp_quotient_short", []),
+                                      _scalar(params[0]),
+                                      "receiveQuotientChunk_short"),
+    "receiveRemainderChunk_short":
+        lambda ctx, params: getattr(ctx, "mp_remainder_short", 0),
+    # BN254 base-field / Fp2 helpers
+    "ARITH_BN254_ADDFP2": _f_bn254_addfp2,
+    "ARITH_BN254_SUBFP2": _f_bn254_subfp2,
+    "ARITH_BN254_MULFP2_X": _f_bn254_mulfp2_x,
+    "ARITH_BN254_MULFP2_Y": _f_bn254_mulfp2_y,
+    "fpBN254inv": _f_fpbn254_inv,
+    "fp2InvBN254_x": _f_fp2inv_bn254_x,
+    "fp2InvBN254_y": _f_fp2inv_bn254_y,
+    # L1 info tree
+    "getL1InfoRoot": _f_get_l1_info_root,
+    "getL1InfoGER": _f_get_l1_info_ger,
+    "getL1InfoBlockHash": _f_get_l1_info_block_hash,
+    "getL1InfoTimestamp": _f_get_l1_info_timestamp,
+    "getTimestampLimit": _f_get_timestamp_limit,
+    "getForcedBlockHashL1": _f_get_forced_block_hash_l1,
+    "getSmtProof": _f_get_smt_proof,
+    # FullTracer hooks
+    "onOpcode": _f_on_opcode,
+    "onUpdateStorage": _f_on_update_storage,
 }

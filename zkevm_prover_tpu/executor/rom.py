@@ -102,10 +102,14 @@ class Rom:
     """A loaded program: lines + label map + named constants."""
 
     def __init__(self, lines: list[Line], labels: dict[str, int] | None = None,
-                 constants: dict | None = None):
+                 constants: dict | None = None,
+                 memory_map: dict[str, int] | None = None):
         self.lines = lines
         self.labels = dict(labels or {})
         self.constants = dict(constants or {})
+        # var name -> ctx-memory offset (reference Rom::memoryMap, built
+        # from each line's offsetLabel; used by FullTracer's getVarFromCtx)
+        self.memory_map = dict(memory_map or {})
 
     def __len__(self):
         return len(self.lines)
@@ -128,7 +132,10 @@ class Rom:
         else:
             obj = json.load(src)
         lines = []
+        memory_map: dict[str, int] = {}
         for j in obj["program"]:
+            if isinstance(j.get("offsetLabel"), str) and "offset" in j:
+                memory_map[j["offsetLabel"]] = int(j["offset"])
             kw: dict = {}
             for k, v in j.items():
                 k = _JSON_RENAME.get(k, k)
@@ -159,7 +166,8 @@ class Rom:
                     kw["line_no"] = int(v)
                 # offsetLabel / jmpAddrLabel / elseAddrLabel are display-only
             lines.append(_make_line(**kw))
-        return cls(lines, obj.get("labels"), obj.get("constants"))
+        return cls(lines, obj.get("labels"), obj.get("constants"),
+                   memory_map)
 
 
 class RomBuilder:

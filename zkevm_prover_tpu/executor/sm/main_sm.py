@@ -327,21 +327,28 @@ class MainResult:
     logs: list
     mem: dict
     new_state_root: tuple | None
+    last_step: int = 0           # step at finalizeExecution (reference
+    #                              ctx.lastStep; 0 = label never reached)
 
 
 class _HashState:
-    __slots__ = ("data", "length", "digest", "digest_called")
+    __slots__ = ("data", "length", "digest", "digest_called", "len_called",
+                 "reads", "first_byte_written")
 
     def __init__(self):
         self.data = bytearray()
         self.length = None
         self.digest = None
         self.digest_called = False
+        self.len_called = False
+        self.reads = {}  # pos -> size (reference HashValue.reads)
+        self.first_byte_written = False  # hashP byte-0 reservation
 
 
-# binOpcode numbering (main_executor.cpp binary dispatch)
+# binOpcode numbering (main_executor.cpp binary dispatch; 8 = LT4, the
+# fork-7+ per-64-bit-chunk comparison, scalar.hpp:516-531)
 BIN_OPS = {0: "ADD", 1: "SUB", 2: "LT", 3: "SLT", 4: "EQ", 5: "AND",
-           6: "OR", 7: "XOR"}
+           6: "OR", 7: "XOR", 8: "LT4"}
 
 
 def _bin_result(opname: str, a: int, b: int) -> tuple[int, int]:
@@ -366,6 +373,11 @@ def _bin_result(opname: str, a: int, b: int) -> tuple[int, int]:
         return a | b, 0
     if opname == "XOR":
         return a ^ b, 0
+    if opname == "LT4":
+        m = (1 << 64) - 1
+        r = int(all(((a >> (64 * i)) & m) < ((b >> (64 * i)) & m)
+                    for i in range(4)))
+        return r, r
     raise ValueError(opname)
 
 
@@ -380,8 +392,15 @@ class MainExecutor:
         self.rom = rom
         self.n_bits = n_bits
         self.n = 1 << n_bits
+        self.on_step = None  # optional debug hook: (step, zk_pc, ln, ctx)
 
-    def execute(self, input: dict | None = None, smt=None) -> MainResult:
+    def execute(self, input: dict | None = None, smt=None,
+                process_batch: bool = False) -> MainResult:
+        """Interpret the ROM.  With `process_batch` (the reference's
+        bProcessBatch fast path, main_executor.cpp:5398-5409) the loop
+        breaks as soon as the `finalizeExecution` label executes and no
+        full trace is materialized — the mode ProcessBatch RPCs and
+        executability checks use; proving requires the full-trace mode."""
         from ..executor import BatchActions
 
         rom, n = self.rom, self.n
@@ -389,7 +408,11 @@ class MainExecutor:
         actions = BatchActions()
         names = columns(self.n_bits)
         col = {nm: i for i, nm in enumerate(names)}
-        tr = np.zeros((n, len(names)), dtype=np.uint64)
+        finalize_label = rom.labels.get("finalizeExecution")
+        if process_batch:
+            tr = np.zeros((1, len(names)), dtype=np.uint64)  # scratch row
+        else:
+            tr = np.zeros((n, len(names)), dtype=np.uint64)
         b = min(self.n_bits, 16)
         k_ch = -(-32 // b)
 
@@ -407,8 +430,21 @@ class MainExecutor:
         state_root = inp.get("oldStateRoot")
         if state_root is not None:
             regs8["SR"] = _fe4_to_fea8(state_root)
+        if "oldStateRootScalar" in inp:
+            # reference initial state (main_executor.cpp:5701-5714):
+            # B=oldStateRoot, C=oldAccInputHash, SP=oldBatchNum,
+            # GAS=chainID, CTX=forkID; SR stays 0 (the ROM assigns it)
+            osr = inp["oldStateRootScalar"]
+            regs8["B"] = _scalar_to_fea8(osr)
+            regs8["C"] = _scalar_to_fea8(inp.get("oldAccInputHash", 0))
+            scal["SP"] = inp.get("oldBatchNum", 0)
+            scal["GAS"] = inp.get("chainID", 1000)
+            scal["CTX"] = inp.get("forkID", 9)
+            state_root = tuple(
+                (osr >> (64 * i)) & 0xFFFFFFFFFFFFFFFF for i in range(4))
 
         ctx = _CmdCtx(self, inp, regs8, scal, mem, n)
+        last_step = 0
 
         poseidon = rm.Poseidon(pc.round_constants(), pc.mds_matrix())
 
@@ -417,7 +453,9 @@ class MainExecutor:
                 raise ExecutorError(f"zkPC {zk_pc} out of program", step, zk_pc)
             ln = rom[zk_pc]
             ctx.step, ctx.zk_pc = step, zk_pc
-            row = tr[step]
+            if self.on_step is not None:
+                self.on_step(step, zk_pc, ln, ctx)
+            row = tr[0] if process_batch else tr[step]
 
             # state snapshot for this row
             for r in REGS8:
@@ -515,7 +553,7 @@ class MainExecutor:
                             step, zk_pc, ln)
                 actions.memory.append({
                     "addr": addr, "step": step, "wr": bool(ln.mWR),
-                    "value": _fea8_to_scalar_strict(op, step, zk_pc, ln)})
+                    "fea": tuple(op)})
 
             # ---- storage -------------------------------------------------
             if ln.sRD or ln.sWR:
@@ -567,15 +605,39 @@ class MainExecutor:
                     counters["keccakF"] += len(hs.data) // 136 + 1
             if ln.hashP or ln.hashP1:
                 inc_hash_pos = self._hash_write(
-                    hash_p, addr, op, scal, regs8, ln, ln.hashP1, step, zk_pc)
+                    hash_p, addr, op, scal, regs8, ln, ln.hashP1, step, zk_pc,
+                    first_byte=True)
             if ln.hashPLen:
                 self._hash_len(hash_p, addr, op, "P", step, zk_pc, ln,
-                               poseidon=poseidon, actions=actions)
+                               poseidon=poseidon, actions=actions, smt=smt)
             if ln.hashPDigest:
+                dg = _fea8_to_scalar_strict(op, step, zk_pc, ln)
                 hs = hash_p.get(addr)
-                if hs is None or hs.digest is None:
+                if hs is None:
+                    # first touch by digest: pull the program preimage from
+                    # the DB (reference main_executor.cpp:3175-3207 —
+                    # pHashDB->getProgram keyed by the digest fea)
+                    hs = _HashState()
+                    hs.digest = dg
+                    prog = None
+                    if smt is not None:
+                        prog = smt.db.get_program(
+                            tuple((dg >> (64 * i)) & 0xFFFFFFFFFFFFFFFF
+                                  for i in range(4)))
+                    if prog is None:
+                        raise ExecutorError(
+                            f"hashPDigest: program {dg:#x} not in DB",
+                            step, zk_pc, ln)
+                    hs.data = bytearray(prog)
+                    hash_p[addr] = hs
+                if hs.digest is None:
                     raise ExecutorError("hashPDigest before len", step, zk_pc, ln)
-                if _fea8_to_scalar_strict(op, step, zk_pc, ln) != hs.digest:
+                if hs.digest_called:
+                    raise ExecutorError("hashPDigest called twice",
+                                        step, zk_pc, ln)
+                hs.digest_called = True
+                counters["paddingPG"] += (len(hs.data) + 1 + 55) // 56
+                if dg != hs.digest:
                     raise ExecutorError("hashPDigest mismatch", step, zk_pc, ln)
             if ln.hashS or ln.hashS1:
                 inc_hash_pos = self._hash_write(
@@ -754,7 +816,26 @@ class MainExecutor:
             for (cname, _, _), (_, ifn) in zip(CNT_COLS, DERIVED_COLS):
                 cnt_regs[cname] += ifn(ln)
 
+            if zk_pc == finalize_label and last_step == 0:
+                last_step = step
+                if process_batch:
+                    zk_pc = next_pc
+                    break
+
             zk_pc = next_pc
+
+        if process_batch:
+            if last_step == 0:
+                raise ExecutorError(
+                    "execution did not reach finalizeExecution within "
+                    f"{n} steps", n - 1, zk_pc)
+            # the authoritative final root is the SR register at
+            # finalizeExecution (reference reads pols.SR — the sWR-tracked
+            # state_root would also absorb block-info-tree writes)
+            return MainResult(trace=tr, actions=actions, counters=counters,
+                              logs=ctx.logs, mem=mem,
+                              new_state_root=_fea8_to_fe4(regs8["SR"]),
+                              last_step=last_step)
 
         if zk_pc != 0:
             raise ExecutorError(
@@ -775,7 +856,7 @@ class MainExecutor:
 
         return MainResult(trace=tr, actions=actions, counters=counters,
                           logs=ctx.logs, mem=mem,
-                          new_state_root=state_root)
+                          new_state_root=state_root, last_step=last_step)
 
     # ------------------------------------------------------------------
 
@@ -795,7 +876,12 @@ class MainExecutor:
                 kin0, kin1)
 
     def _hash_write(self, pool, addr, op, scal, regs8, ln, one_byte,
-                    step, zk_pc):
+                    step, zk_pc, first_byte=False):
+        """Write-or-verify `size` bytes of op at HASHPOS (reference hashK/
+        hashP instruction semantics, main_executor.cpp:2660-2758: appends
+        when at the buffer tail, verifies equality when re-reading already
+        materialized bytes, and rejects gaps).  `first_byte` enables the
+        hashP byte-0 reservation protocol."""
         hs = pool.setdefault(addr, _HashState())
         size = 1 if one_byte else regs8["D"][0]
         if not (1 <= size <= 32):
@@ -806,26 +892,75 @@ class MainExecutor:
             raise ExecutorError(f"hash value too big for size {size}",
                                 step, zk_pc, ln)
         data = val.to_bytes(size, "big")
-        if pos != len(hs.data):
+        for j, bm in enumerate(data):
+            # hashP first-byte reservation (main_executor.cpp:2980-3010):
+            # the l2TxHash scheme writes bytes 1.. first and patches the tx
+            # type into byte 0 at the end
+            if (first_byte and pos + j == 1 and not hs.data
+                    and not hs.first_byte_written):
+                hs.data.append(0)
+                hs.reads.setdefault(0, 1)
+            if (first_byte and pos + j == 0 and size == 1 and hs.data
+                    and not hs.first_byte_written):
+                hs.data[0] = bm
+                hs.first_byte_written = True
+            elif len(hs.data) == pos + j:
+                hs.data.append(bm)
+            elif len(hs.data) < pos + j:
+                raise ExecutorError(
+                    f"hash position {pos + j} beyond buffer "
+                    f"{len(hs.data)}", step, zk_pc, ln)
+            elif hs.data[pos + j] != bm:
+                raise ExecutorError(
+                    f"hash byte mismatch at {pos + j}: "
+                    f"{bm} != {hs.data[pos + j]}", step, zk_pc, ln)
+        prev = hs.reads.get(pos)
+        if prev is not None and prev != size:
             raise ExecutorError(
-                f"hash position {pos} != buffer length {len(hs.data)}",
+                f"hash read at {pos} with size {size} != prior {prev}",
                 step, zk_pc, ln)
-        hs.data.extend(data)
+        hs.reads[pos] = size
         return size
 
+    def _hash_read_free(self, pool, addr, scal, regs8, ln, one_byte,
+                        step, zk_pc):
+        """Free-input read of `size` bytes from the hash buffer at HASHPOS
+        (reference main_executor.cpp:1444-1508): data must already be
+        materialized."""
+        hs = pool.setdefault(addr, _HashState())
+        size = 1 if one_byte else regs8["D"][0]
+        if not (1 <= size <= 32):
+            raise ExecutorError(f"hash free-in size {size}", step, zk_pc, ln)
+        pos = scal["HASHPOS"]
+        if pos + size > len(hs.data):
+            raise ExecutorError(
+                f"hash free-in read [{pos},{pos + size}) beyond buffer "
+                f"{len(hs.data)}", step, zk_pc, ln)
+        return _scalar_to_fea8(
+            int.from_bytes(bytes(hs.data[pos:pos + size]), "big"))
+
     def _hash_len(self, pool, addr, op, kind, step, zk_pc, ln,
-                  poseidon=None, actions=None):
+                  poseidon=None, actions=None, smt=None):
         hs = pool.setdefault(addr, _HashState())
         length = op[0]
+        if hs.len_called:
+            raise ExecutorError(f"hash{kind}Len called twice", step, zk_pc, ln)
+        hs.len_called = True
         if length != len(hs.data):
             raise ExecutorError(
                 f"hash len {length} != buffer {len(hs.data)}", step, zk_pc, ln)
         hs.length = length
         if kind == "P":
-            # hashP: Poseidon linear hash over 4-byte-packed field elements
-            vals = _bytes_to_u32_elems(bytes(hs.data))
+            # hashP: the reference linear poseidon over bytes — 0x01..0x80
+            # padding, 7-byte little-endian elements, 56-byte blocks
+            # (padding_pg_executor.cpp:38-41, :148-170)
+            vals = poseidon.pack_bytes(bytes(hs.data))
             digest4 = poseidon.linear_hash(vals)
             hs.digest = _fe4_to_scalar(digest4)
+            if smt is not None:
+                # persist the program preimage (reference hashPLen →
+                # pHashDB->setProgram) so later digest-first touches load it
+                smt.db.set_program(digest4, bytes(hs.data))
             if actions is not None and len(vals) > 4:
                 actions.padding_pg.append({"values": vals})
         elif kind == "K":
@@ -852,10 +987,10 @@ class MainExecutor:
                 v = 0
             if not isinstance(v, int):
                 raise ExecutorError(f"free input type {type(v)}", step, zk_pc, ln)
-            if v < 0 or v > MASK256:
-                raise ExecutorError(f"free input out of range ({v})",
-                                    step, zk_pc, ln)
-            return _scalar_to_fea8(v)
+            # reference scalar2fea (scalar.hpp:299-318) truncates to 256
+            # bits; GMP bitwise ops give negatives two's-complement
+            # semantics — Python's & matches both behaviors
+            return _scalar_to_fea8(v & MASK256)
         # flag-derived free value (main_executor.cpp:900-2000)
         if ln.mOp and not ln.mWR:
             return list(mem.get(addr, [0] * 8))
@@ -869,16 +1004,25 @@ class MainExecutor:
             res = smt.set(_fea8_to_fe4(regs8["SR"]), key, value)
             ctx.last_swrite = (step, res)
             return _fe4_to_fea8(res.new_root)
+        if ln.hashK or ln.hashK1:
+            return self._hash_read_free(hash_k, addr, scal, regs8, ln,
+                                        ln.hashK1, step, zk_pc)
         if ln.hashKDigest:
             hs = hash_k.get(addr)
             if hs is None or hs.digest is None:
                 raise ExecutorError("hashKDigest before len", step, zk_pc, ln)
             return _scalar_to_fea8(hs.digest)
+        if ln.hashP or ln.hashP1:
+            return self._hash_read_free(hash_p, addr, scal, regs8, ln,
+                                        ln.hashP1, step, zk_pc)
         if ln.hashPDigest:
             hs = hash_p.get(addr)
             if hs is None or hs.digest is None:
                 raise ExecutorError("hashPDigest before len", step, zk_pc, ln)
             return _scalar_to_fea8(hs.digest)
+        if ln.hashS or ln.hashS1:
+            return self._hash_read_free(hash_s, addr, scal, regs8, ln,
+                                        ln.hashS1, step, zk_pc)
         if ln.hashSDigest:
             hs = hash_s.get(addr)
             if hs is None or hs.digest is None:
@@ -946,6 +1090,10 @@ class _CmdCtx:
 
     def get_mem(self, offset: int, use_ctx: bool):
         addr = offset + (self.scal["CTX"] * CTX_OFFSET if use_ctx else 0)
+        return _fea8_to_scalar_lenient(self.mem.get(addr, [0] * 8))
+
+    def get_mem_raw(self, addr: int):
+        """Absolute-address read for the MPdiv family (ref ctx.mem.find)."""
         return _fea8_to_scalar_lenient(self.mem.get(addr, [0] * 8))
 
     def get_txs(self, pos: int, length: int):

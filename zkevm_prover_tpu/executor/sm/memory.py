@@ -85,25 +85,31 @@ def execute(actions: list[dict], n_bits: int) -> tuple[np.ndarray, list]:
     Returns the (N, 14) sorted trace and the read results in program order.
     """
     n = 1 << n_bits
-    mem: dict[int, int] = {}
+    mem: dict[int, tuple] = {}
     reads = []
     rows = []
     for a in actions:
-        if a["wr"]:
-            mem[a["addr"]] = a["value"] % (1 << 256)
-            v = mem[a["addr"]]
+        # limbs may be arbitrary field elements (the Main SM MSTOREs op
+        # verbatim, e.g. -1 mod p from a JMPN guard) — carry the raw fea
+        # when provided, else split the 256-bit scalar
+        if "fea" in a:
+            chunks = tuple(int(x) for x in a["fea"])
         else:
-            v = mem.get(a["addr"], 0)
-            reads.append(v)
-        rows.append((a["addr"], a["step"], 1, 1 if a["wr"] else 0, v))
+            v = a["value"] % (1 << 256)
+            chunks = tuple((v >> (32 * k)) & 0xFFFFFFFF for k in range(N_VAL))
+        if a["wr"]:
+            mem[a["addr"]] = chunks
+        else:
+            chunks = mem.get(a["addr"], (0,) * N_VAL)
+            reads.append(sum(c << (32 * k) for k, c in enumerate(chunks)))
+        rows.append((a["addr"], a["step"], 1, 1 if a["wr"] else 0, chunks))
     rows.sort(key=lambda r: (r[0], r[1]))
     assert len(rows) <= n
 
     tr = np.zeros((n, 6 + N_VAL), dtype=np.uint64)
-    for i, (ad, st, mop, mwr, v) in enumerate(rows):
+    for i, (ad, st, mop, mwr, chunks) in enumerate(rows):
         lasta = 1 if (i + 1 >= len(rows) or rows[i + 1][0] != ad) else 0
         start = 1 if (i == 0 or rows[i - 1][0] != ad) else 0
-        chunks = [(v >> (32 * k)) & 0xFFFFFFFF for k in range(N_VAL)]
         tr[i] = (ad, st, mop, mwr, lasta, start, *chunks)
     if rows:
         tr[len(rows) - 1, 4] = 1  # last real row ends its run

@@ -43,7 +43,11 @@ class Database:
             return list(v) if v is not None else None
 
     def write(self, key, value: list[int]) -> None:
-        assert len(value) == 12
+        # 12 = 8 inputs + 4 capacity; the reference's input-JSON db also
+        # carries bare 8-element value preimages (capacity 0 implied)
+        assert len(value) in (8, 12)
+        if len(value) == 8:
+            value = list(value) + [0, 0, 0, 0]
         with self._lock:
             ks = _k(key)
             self._nodes[ks] = [int(x) for x in value]

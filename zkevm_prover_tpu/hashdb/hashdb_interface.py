@@ -149,15 +149,7 @@ class HashDB:
     def hash_program(self, data: bytes) -> tuple:
         """Poseidon linear hash of padded bytecode (program key derivation,
         reference: hashContractBytecode)."""
-        padded = bytearray(data)
-        padded.append(0x01)
-        while len(padded) % 56:
-            padded.append(0)
-        padded[-1] |= 0x80
-        elems = []
-        for off in range(0, len(padded), 7):
-            elems.append(int.from_bytes(padded[off : off + 7], "little"))
-        return tuple(self._poseidon.linear_hash(elems))
+        return tuple(self._poseidon.linear_hash_bytes(data))
 
     @staticmethod
     def keccak256(data: bytes) -> bytes:

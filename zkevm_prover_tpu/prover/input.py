@@ -1,8 +1,20 @@
-"""Proof request input — publics + batch payload.
+"""Proof request input — publics + batch payload, reference JSON schema.
 
-Reference: src/prover/input.{hpp,cpp} (publics oldStateRoot/oldAccInputHash/
-batchL2Data/l1InfoRoot/timestampLimit/forkID/chainID..., db key->values map,
-contractsBytecode; verified against testvectors/e2e/fork_9/input_executor_0.json).
+Reference: src/prover/input.{hpp,cpp} — loadGlobals (publics, l1InfoTree,
+traceConfig flags, input.cpp:150-560) and loadDatabase (db key->12 fe,
+contractsBytecode, input.cpp:640-720).  Parses the reference testvector
+files (testvectors/e2e/fork_9/input_executor_*.json) verbatim, including
+the fields round 1 lacked: batchL2Data bytes, db node map, contracts
+bytecode, the l1InfoTree, and the skip flags.
+
+Two consumers:
+  * `executor_input()` — the dict handed to MainExecutor.execute / the
+    eval_command getters (getTxs, getL1InfoGER, getSmtProof, ...);
+  * `seed_database()` — preloads a hashdb.Database with the node/program
+    preimages so the SMT can walk from oldStateRoot.
+
+The legacy pre-cooked action lists (binaryActions/...) remain accepted for
+the synthetic pipeline tests.
 """
 
 from __future__ import annotations
@@ -12,6 +24,41 @@ import json
 
 from ..executor import BatchActions
 from ..ops import keccak
+
+
+def _hex_int(v, default=0) -> int:
+    """Accept 0x-hex strings, decimal strings, or ints."""
+    if v is None:
+        return default
+    if isinstance(v, int):
+        return v
+    s = str(v)
+    if s.startswith("0x") or s.startswith("0X"):
+        return int(s, 16) if len(s) > 2 else 0
+    # bare hex (no 0x) appears for roots in some vectors; decimals for
+    # timestamps — reference uses stringIsDec/stringIsHex to pick
+    return int(s, 10) if s.isdigit() else int(s, 16)
+
+
+def _hex32(v: int) -> str:
+    return "0x" + v.to_bytes(32, "big").hex()
+
+
+def scalar_to_fe4(v: int) -> tuple[int, int, int, int]:
+    """256-bit scalar -> 4 little-endian 64-bit limbs (reference scalar2fea
+    for roots/keys, scalar_fea variants in src/utils/scalar.cpp)."""
+    m = (1 << 64) - 1
+    return (v & m, (v >> 64) & m, (v >> 128) & m, (v >> 192) & m)
+
+
+@dataclasses.dataclass
+class L1Data:
+    """One l1InfoTree entry (reference: L1Data, input.hpp)."""
+
+    global_exit_root: int = 0
+    block_hash_l1: int = 0
+    min_timestamp: int = 0
+    smt_proof: list[int] = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass
@@ -26,9 +73,10 @@ class PublicInputs:
     batch_l2_data: str = "0x"
     l1_info_root: str = "0x" + "00" * 32
     timestamp_limit: int = 0
+    forced_blockhash_l1: str = "0x" + "00" * 32
     sequencer_addr: str = "0x" + "00" * 20
     aggregator_addr: str = "0x" + "00" * 20
-    # filled by execution:
+    # filled by execution / expected outputs in testvectors:
     new_state_root: str = "0x" + "00" * 32
     new_acc_input_hash: str = "0x" + "00" * 32
     new_batch_num: int = 0
@@ -53,6 +101,14 @@ class ProofInput:
     actions: BatchActions = dataclasses.field(default_factory=BatchActions)
     db: dict = dataclasses.field(default_factory=dict)           # key -> 12 fe
     contracts_bytecode: dict = dataclasses.field(default_factory=dict)
+    l1_info_tree: dict = dataclasses.field(default_factory=dict)  # idx->L1Data
+    # trace/skip flags (reference: bSkipVerifyL1InfoRoot etc.)
+    skip_verify_l1_info_root: bool = False
+    skip_first_change_l2_block: bool = False
+    skip_write_block_info_root: bool = False
+    no_counters: bool = False
+    update_merkle_tree: bool = True
+    timestamp: int = 0
 
     @classmethod
     def from_json(cls, text: str) -> "ProofInput":
@@ -65,8 +121,35 @@ class ProofInput:
             memory=d.get("memoryActions", []),
             arith=d.get("arithActions", []),
         )
-        return cls(publics=pub, actions=acts, db=d.get("db", {}),
-                   contracts_bytecode=d.get("contractsBytecode", {}))
+        tree = {}
+        for key, e in d.get("l1InfoTree", {}).items():
+            if not str(key).isdigit():
+                continue  # skip non-index keys (e.g. "skipVerifyL1InfoRoot")
+            tree[int(key)] = L1Data(
+                global_exit_root=_hex_int(e.get("globalExitRoot")),
+                block_hash_l1=_hex_int(e.get("blockHash")),
+                min_timestamp=int(e.get("timestamp", 0)),
+                smt_proof=[_hex_int(h) for h in e.get("smtProof", [])],
+            )
+        return cls(
+            publics=pub, actions=acts,
+            db=d.get("db", {}),
+            contracts_bytecode=d.get("contractsBytecode", {}),
+            l1_info_tree=tree,
+            skip_verify_l1_info_root=bool(d.get("skipVerifyL1InfoRoot", False)),
+            skip_first_change_l2_block=bool(
+                d.get("skipFirstChangeL2Block", False)),
+            skip_write_block_info_root=bool(
+                d.get("skipWriteBlockInfoRoot", False)),
+            no_counters=bool(d.get("noCounters", False)),
+            update_merkle_tree=bool(d.get("updateMerkleTree", True)),
+            timestamp=int(d.get("timestamp", 0)),
+        )
+
+    @classmethod
+    def from_file(cls, path: str) -> "ProofInput":
+        with open(path) as f:
+            return cls.from_json(f.read())
 
     def to_json(self) -> str:
         p = self.publics
@@ -76,7 +159,58 @@ class ProofInput:
         d["arithActions"] = self.actions.arith
         d["db"] = self.db
         d["contractsBytecode"] = self.contracts_bytecode
+        if self.l1_info_tree:
+            d["l1InfoTree"] = {
+                str(i): {
+                    "globalExitRoot": _hex32(e.global_exit_root),
+                    "blockHash": _hex32(e.block_hash_l1),
+                    "timestamp": str(e.min_timestamp),
+                    "smtProof": [_hex32(h) for h in e.smt_proof],
+                } for i, e in self.l1_info_tree.items()}
+        if self.skip_verify_l1_info_root:
+            d["skipVerifyL1InfoRoot"] = True
         return json.dumps(d, indent=1)
+
+    # -- executor bridge ----------------------------------------------------
+
+    def executor_input(self) -> dict:
+        """The input dict MainExecutor.execute / eval_command consume."""
+        p = self.publics
+        return {
+            "oldStateRootScalar": _hex_int(p.old_state_root),
+            "oldAccInputHash": _hex_int(p.old_acc_input_hash),
+            "oldBatchNum": int(p.old_batch_num),
+            "chainID": int(p.chain_id),
+            "forkID": int(p.fork_id),
+            "batchL2Data": bytes.fromhex(p.batch_l2_data[2:] or ""),
+            "sequencerAddr": _hex_int(p.sequencer_addr),
+            "l1InfoRoot": _hex_int(p.l1_info_root),
+            "timestampLimit": int(str(p.timestamp_limit), 0)
+            if not isinstance(p.timestamp_limit, int) else p.timestamp_limit,
+            "forcedBlockHashL1": _hex_int(p.forced_blockhash_l1),
+            "timestamp": int(self.timestamp),
+            "l1InfoTree": {
+                i: {"globalExitRoot": e.global_exit_root,
+                    "blockHashL1": e.block_hash_l1,
+                    "minTimestamp": e.min_timestamp,
+                    "smtProof": e.smt_proof}
+                for i, e in self.l1_info_tree.items()},
+            "skipVerifyL1InfoRoot": self.skip_verify_l1_info_root,
+            "skipFirstChangeL2Block": self.skip_first_change_l2_block,
+            "skipWriteBlockInfoRoot": self.skip_write_block_info_root,
+        }
+
+    def seed_database(self, database) -> None:
+        """Preload a hashdb.Database with the input's node and program
+        preimages (reference Input::loadDatabase, input.cpp:640-720).
+        Keys are 256-bit hex scalars; Database keys are the same value as
+        4 little-endian 64-bit Goldilocks limbs (scalar2fea)."""
+        for key, vals in self.db.items():
+            database.write(scalar_to_fe4(_hex_int(key)),
+                           [int(v, 16) for v in vals])
+        for key, code in self.contracts_bytecode.items():
+            database.set_program(scalar_to_fe4(_hex_int(key)),
+                                 bytes.fromhex(code.removeprefix("0x")))
 
 
 _PUB_KEYS = {
@@ -88,6 +222,7 @@ _PUB_KEYS = {
     "batch_l2_data": "batchL2Data",
     "l1_info_root": "l1InfoRoot",
     "timestamp_limit": "timestampLimit",
+    "forced_blockhash_l1": "forcedBlockHashL1",
     "sequencer_addr": "sequencerAddr",
     "aggregator_addr": "aggregatorAddress",
     "new_state_root": "newStateRoot",
