@@ -106,8 +106,10 @@ int64_t findInPage(uint8_t *p, const uint8_t *key, uint32_t *valLen) {
     uint8_t *d = pData(p);
     uint64_t off = 0;
     for (uint32_t i = 0; i < n; i++) {
+        if (off + 2 > DATA_BYTES) break;  // corrupt page: record count past data
         uint8_t kl = d[off];
         uint8_t vl = d[off + 1];
+        if (off + 2 + kl + vl > DATA_BYTES) break;  // corrupt record length
         if (kl == KEY_LEN && memcmp(d + off + 2, key, KEY_LEN) == 0) {
             if (valLen) *valLen = vl;
             return static_cast<int64_t>(off);
@@ -241,6 +243,7 @@ int pagestore_get(void *ptr, const uint8_t *key, uint8_t *out) {
         if (off >= 0) {
             uint8_t *d = pData(p);
             uint8_t len = d[off + 1];
+            if (len > MAX_VAL) return -1;  // corrupt store: caller buffer is MAX_VAL
             if (out) memcpy(out, d + off + 2 + KEY_LEN, len);
             return len;
         }

@@ -87,34 +87,68 @@ class Synthesizer:
 
 
 def poseidon_bn128_permute(s: Synthesizer, state: list[int]) -> list[int]:
-    """Constrain one width-17 Poseidon permutation; state = signal ids.
-    ~1.9k constraints (8 full + 68 partial rounds, x^5 S-box)."""
-    T = pbn.T
+    """Constrain one Poseidon permutation (width = len(state), the
+    reference's circomlib-opt schedule, ops/poseidon_bn128.permute);
+    state = signal ids.  Only the x^5 S-boxes cost constraints
+    (3 each; (8·t + nRoundsP)·3 total — 612 at t=17): the ark / MDS /
+    sparse-partial layers stay in linear-combination space."""
+    t = len(state)
+    C, M, Pm, S, rp = pbn._tables(t)
     half = pbn.ROUNDS_F // 2
-    cur = list(state)
 
     def sbox_lc(lc: dict) -> int:
         x2 = s.mul_lc(lc, lc)
         x4 = s.mul_lc({x2: 1}, {x2: 1})
         return s.mul_lc({x4: 1}, lc)
 
-    for r in range(pbn.N_ROUNDS):
-        with_c = [{cur[i]: 1, 0: pbn._C[r * T + i]} for i in range(T)]
-        if half <= r < half + pbn.ROUNDS_P:
-            out0 = sbox_lc(with_c[0])
-            sboxed = [{out0: 1}] + with_c[1:]
-        else:
-            sboxed = [{sbox_lc(lc): 1} for lc in with_c]
+    def lc_add_const(lc: dict, c: int) -> dict:
+        out = dict(lc)
+        out[0] = (out.get(0, 0) + c) % R
+        return out
+
+    def lc_scale_into(acc: dict, lc: dict, m: int) -> None:
+        for sig, coef in lc.items():
+            acc[sig] = (acc.get(sig, 0) + m * coef) % R
+
+    def mix(cur: list[dict], matrix) -> list[dict]:
+        # reference orientation: out_i = Σ_j matrix[j][i]·s_j
         nxt = []
-        for i in range(T):
-            lc: dict = {}
-            for j in range(T):
-                m = pbn._M[i][j]
-                for sig, coef in sboxed[j].items():
-                    lc[sig] = (lc.get(sig, 0) + m * coef) % R
-            nxt.append(s.lin(lc))
+        for i in range(t):
+            acc: dict = {}
+            for j in range(t):
+                lc_scale_into(acc, cur[j], matrix[j][i])
+            nxt.append(acc)
+        return nxt
+
+    cur: list[dict] = [{sig: 1} for sig in state]
+    cur = [lc_add_const(cur[i], C[i]) for i in range(t)]
+    for r in range(half - 1):
+        cur = [{sbox_lc(lc): 1} for lc in cur]
+        cur = [lc_add_const(cur[i], C[(r + 1) * t + i]) for i in range(t)]
+        cur = mix(cur, M)
+    cur = [{sbox_lc(lc): 1} for lc in cur]
+    cur = [lc_add_const(cur[i], C[half * t + i]) for i in range(t)]
+    cur = mix(cur, Pm)
+    for r in range(rp):
+        s0 = lc_add_const({sbox_lc(cur[0]): 1}, C[(half + 1) * t + r])
+        new0: dict = {}
+        lc_scale_into(new0, s0, S[(2 * t - 1) * r])
+        for j in range(1, t):
+            lc_scale_into(new0, cur[j], S[(2 * t - 1) * r + j])
+        nxt = [new0]
+        for j in range(1, t):
+            acc = dict(cur[j])
+            lc_scale_into(acc, s0, S[(2 * t - 1) * r + t + j - 1])
+            nxt.append(acc)
         cur = nxt
-    return cur
+    for r in range(half - 1):
+        cur = [{sbox_lc(lc): 1} for lc in cur]
+        cur = [lc_add_const(cur[i], C[(half + 1) * t + rp + r * t + i])
+               for i in range(t)]
+        cur = mix(cur, M)
+    cur = [{sbox_lc(lc): 1} for lc in cur]
+    cur = mix(cur, M)
+    return [s.lin(lc) for lc in cur]
 
 
 def poseidon_hash16(s: Synthesizer, inputs: list[int],
@@ -123,7 +157,20 @@ def poseidon_hash16(s: Synthesizer, inputs: list[int],
     cap = capacity if capacity is not None else s.alloc(0)
     if capacity is None:
         s.b.constrain({cap: 1}, {0: 1}, {0: 0})  # capacity pinned to 0
-    return poseidon_bn128_permute(s, list(inputs) + [cap])[0]
+    # capacity-first state, matching merkleTreeBN128.cpp:121-127
+    return poseidon_bn128_permute(s, [cap] + list(inputs))[0]
+
+
+def poseidon_hash_partial(s: Synthesizer, inputs: list[int],
+                          capacity: int | None = None) -> int:
+    """Short-chunk compression at width len(inputs)+1 — the reference's
+    variable-width tail hash (merkleTreeBN128.cpp:130-136,
+    ops/poseidon_bn128.hash_partial)."""
+    assert 1 <= len(inputs) <= 16
+    cap = capacity if capacity is not None else s.alloc(0)
+    if capacity is None:
+        s.b.constrain({cap: 1}, {0: 1}, {0: 0})
+    return poseidon_bn128_permute(s, [cap] + list(inputs))[0]
 
 
 def merkle_path_arity16(s: Synthesizer, leaf: int, siblings: list[list[int]],
@@ -272,17 +319,67 @@ def gl_canon(s: Synthesizer, a: int) -> int:
     return gl_lincomb(s, [(1, a)])
 
 
-def fr_to_gl3(s: Synthesizer, v: int) -> list[int]:
-    """TranscriptBN128.get_field3 in-circuit: three 63-bit chunks of the
-    squeezed Fr element (each < 2^63 < p_GL, so no reduction needed)."""
+def fr_bits_canonical(s: Synthesizer, v: int) -> list[int]:
+    """Decompose v into 254 bits AND constrain the bit string to be the
+    canonical representative (< r) — circom's Num2Bits_strict role.
+
+    Without the comparison, any v with v + r < 2^254 (~32% of field
+    elements) admits a second valid decomposition (the bits of v + r), so
+    a malicious witness could substitute alternate transcript challenges
+    and query-index bits.  Big-endian comparator chain against r - 1:
+    maintain eq = "prefix equal so far" and lt = "already strictly less";
+    final constraint lt + eq = 1.
+    """
     bs = s.bits(v, 254)
-    out = []
-    for k in range(3):
-        lc = {bs[63 * k + i]: 1 << i for i in range(63)}
-        out.append(s.lin(lc))
-    return out
+    c = R - 1
+    eq_lc: dict = {0: 1}          # starts true (constant 1)
+    lt_terms: list[int] = []      # one-hot contribution signals
+    for i in range(253, -1, -1):
+        ci = (c >> i) & 1
+        if ci:
+            # lt += eq AND (NOT x_i);  eq &= x_i
+            lt_terms.append(s.mul_lc(eq_lc, {0: 1, bs[i]: R - 1}))
+            eq_lc = {s.mul_lc(eq_lc, {bs[i]: 1}): 1}
+        else:
+            # eq &= NOT x_i (x_i = 1 here can only mean "greater")
+            eq_lc = {s.mul_lc(eq_lc, {0: 1, bs[i]: R - 1}): 1}
+    final = dict(eq_lc)
+    for t in lt_terms:
+        final[t] = (final.get(t, 0) + 1) % R
+    final[0] = (final.get(0, 0) + R - 1) % R
+    s.b.constrain(final, {0: 1}, {0: 0})
+    return bs
 
 
-def fr_bits_low(s: Synthesizer, v: int, n: int) -> list[int]:
-    """The low 252 bits of a squeezed element (query-index extraction)."""
-    return s.bits(v, 254)[:n]
+def gl_reduce_bits(s: Synthesizer, limb_bits: list[int]) -> int:
+    """Canonical reduction of a 64-bit value (given as bit signals) mod
+    p_GL: r = x - q·p with q ∈ {0,1} and r < p.  The r < p check uses
+    p = 2^64 - 2^32 + 1: r < p ⟺ NOT(top-32 bits all ones AND low 32
+    bits nonzero)."""
+    assert len(limb_bits) == 64
+    x = 0
+    for i, b in enumerate(limb_bits):
+        x |= (s.w[b] & 1) << i
+    q_v = 1 if x >= GL_P else 0
+    q = s.alloc(q_v)
+    s.assert_bool(q)
+    rem = s.alloc(x - q_v * GL_P)
+    lc = {b: 1 << i for i, b in enumerate(limb_bits)}
+    lc[q] = (lc.get(q, 0) + R - GL_P) % R
+    lc[rem] = (lc.get(rem, 0) + R - 1) % R
+    s.b.constrain(lc, {0: 1}, {0: 0})
+    rbs = s.bits(rem, 64)
+    allhi_lc: dict = {rbs[63]: 1}
+    for i in range(62, 31, -1):
+        allhi_lc = {s.mul_lc(allhi_lc, {rbs[i]: 1}): 1}
+    lo_lc = {rbs[i]: 1 << i for i in range(32)}
+    s.b.constrain(allhi_lc, lo_lc, {0: 0})
+    return rem
+
+
+def fr_to_limbs64(s: Synthesizer, v: int) -> list[int]:
+    """TranscriptBN128 limb carving in-circuit (getFields1,
+    transcriptBN128.cpp:53-73): the squeezed Fr element yields its three
+    low 64-bit limbs, each reduced canonically mod p_GL."""
+    bs = fr_bits_canonical(s, v)
+    return [gl_reduce_bits(s, bs[64 * k : 64 * k + 64]) for k in range(3)]

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 import hashlib
+import os
 
 from ..ops import bn254 as bn
 from ..ops.bn254 import R
@@ -160,10 +161,23 @@ def _quotient_coeffs(r1cs: R1CS, w: list[int], n_bits: int) -> list[int]:
 
 
 def groth16_prove(setup: Groth16Setup, witness: list[int],
-                  seed: bytes = b"proof-randomness") -> dict:
-    """Produce proof {pi_a, pi_b, pi_c} for a full witness vector."""
+                  seed: bytes | None = None) -> dict:
+    """Produce proof {pi_a, pi_b, pi_c} for a full witness vector.
+
+    Blinding scalars default to fresh os.urandom entropy; a fixed seed
+    (tests only) is mixed with the witness so distinct statements never
+    reuse (r, s) — reuse makes pi_a differences leak witness relations.
+    """
     r1cs = setup.r1cs
     assert r1cs.is_satisfied(witness), "witness does not satisfy the circuit"
+    if seed is None:
+        seed = os.urandom(32)
+    else:
+        wh = hashlib.shake_256(
+            b"groth16/blind" + b"".join(int(v).to_bytes(32, "little")
+                                        for v in witness)
+        ).digest(32)
+        seed = seed + wh
     r = _rand_fr(seed, b"r")
     s = _rand_fr(seed, b"s")
 

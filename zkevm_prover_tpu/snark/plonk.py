@@ -212,6 +212,18 @@ def _transcript_challenge(parts: list, label: bytes) -> int:
     return int.from_bytes(keccak.keccak256(data), "big") % R
 
 
+def _transcript_init(setup: "PlonkSetup", publics: list[int]) -> int:
+    """Bind the verification key and the public inputs into the transcript
+    before any challenge is derived (the PLONK paper's schedule; omitting
+    either is the "Frozen Heart" forgery pattern)."""
+    parts: list = [setup.n, K1, K2]
+    for name in sorted(setup.q_comms):
+        parts.append(setup.q_comms[name])
+    parts.extend(setup.sigma_comms)
+    parts.extend(int(p) % R for p in publics)
+    return _transcript_challenge(parts, b"init")
+
+
 def _coset_fft(coeffs: list[int], n_bits_ext: int, shift: int) -> list[int]:
     n_ext = 1 << n_bits_ext
     cs = list(coeffs) + [0] * (n_ext - len(coeffs))
@@ -254,8 +266,10 @@ def plonk_prove(setup: PlonkSetup, assignment: list[int]) -> dict:
     com_b = _commit(setup.srs_g1, b_p)
     com_c = _commit(setup.srs_g1, c_p)
 
-    beta = _transcript_challenge([com_a, com_b, com_c], b"beta")
-    gamma = _transcript_challenge([com_a, com_b, com_c], b"gamma")
+    pubs = [assignment[i + 1] % R for i in range(c.n_public)]
+    ts0 = _transcript_init(setup, pubs)
+    beta = _transcript_challenge([ts0, com_a, com_b, com_c], b"beta")
+    gamma = _transcript_challenge([ts0, com_a, com_b, com_c], b"gamma")
 
     # permutation grand product
     w = bn254.fr_w(n_bits)
@@ -278,7 +292,6 @@ def plonk_prove(setup: PlonkSetup, assignment: list[int]) -> dict:
     alpha = _transcript_challenge([com_z, beta, gamma], b"alpha")
 
     # public-input polynomial: PI = -Σ pub_i·L_i
-    pubs = [assignment[i + 1] % R for i in range(c.n_public)]
     pi_ev = [(-pubs[i]) % R if i < c.n_public else 0 for i in range(n)]
     pi_p = _poly_from_evals(pi_ev, n_bits)
 
@@ -425,9 +438,10 @@ def plonk_verify(setup: PlonkSetup, publics: list[int],
     n = setup.n
     w = bn254.fr_w(setup.n_bits)
 
-    beta = _transcript_challenge([proof["a"], proof["b"], proof["c"]],
+    ts0 = _transcript_init(setup, publics)
+    beta = _transcript_challenge([ts0, proof["a"], proof["b"], proof["c"]],
                                  b"beta")
-    gamma = _transcript_challenge([proof["a"], proof["b"], proof["c"]],
+    gamma = _transcript_challenge([ts0, proof["a"], proof["b"], proof["c"]],
                                   b"gamma")
     alpha = _transcript_challenge([proof["z"], beta, gamma], b"alpha")
     zeta = _transcript_challenge([proof["tlo"], proof["tmid"],
@@ -439,14 +453,6 @@ def plonk_verify(setup: PlonkSetup, publics: list[int],
 
     zh_z = (pow(zeta, n, R) - 1) % R
     l1_z = zh_z * pow(n * (zeta - 1) % R, R - 2, R) % R
-    # PI(ζ)
-    pi_z = 0
-    acc_dom = 1
-    for i in range(c.n_public):
-        li = (zh_z * acc_dom % R
-              * pow(n * (zeta - acc_dom) % R, R - 2, R)) % R
-        pi_z = (pi_z - publics[i] * li) % R
-        acc_dom = acc_dom * w % R
 
     ev_a, ev_b, ev_c = proof["ev_a"], proof["ev_b"], proof["ev_c"]
     ev_s1, ev_s2, ev_zw = proof["ev_s1"], proof["ev_s2"], proof["ev_zw"]

@@ -50,6 +50,7 @@ class _Transcript:
         self.state = self.zero
         self.pending: list[int] = []
         self.out: list[int] = []
+        self.out3: list[int] = []
 
     def put(self, sigs) -> None:
         for v in sigs:
@@ -60,9 +61,10 @@ class _Transcript:
 
     def _permute(self) -> None:
         inputs = self.pending + [self.zero] * (pbn.T - 1 - len(self.pending))
-        out = gd.poseidon_bn128_permute(self.s, inputs + [self.state])
+        out = gd.poseidon_bn128_permute(self.s, [self.state] + inputs)
         self.pending = []
         self.out = list(out)
+        self.out3 = []
         self.state = out[0]
 
     def get_fr(self) -> int:
@@ -70,8 +72,23 @@ class _Transcript:
             self._permute()
         return self.out.pop(0)
 
+    def _get_limb(self) -> int:
+        if not self.out3:
+            self.out3 = gd.fr_to_limbs64(self.s, self.get_fr())
+        return self.out3.pop(0)
+
     def get_field3(self) -> list[int]:
-        return gd.fr_to_gl3(self.s, self.get_fr())
+        return [self._get_limb() for _ in range(3)]
+
+    def get_permutation_bits(self, n: int, n_bits: int) -> list[list[int]]:
+        """Mirror of TranscriptBN128.get_permutations: fields are consumed
+        253 bits each; returns per-index LSB-first bit signals."""
+        total = n * n_bits
+        n_fields = (total - 1) // 253 + 1
+        bits = []
+        for _ in range(n_fields):
+            bits.extend(gd.fr_bits_canonical(self.s, self.get_fr())[:253])
+        return [bits[i * n_bits : (i + 1) * n_bits] for i in range(n)]
 
 
 def _const3(s: Synthesizer, v) -> list[int]:
@@ -119,25 +136,31 @@ def _eval_dag(s: Synthesizer, e: ex.Expr, bind) -> list[int]:
 
 def _merkle_path(s: Synthesizer, row_sigs: list[int], sib_sigs: list[list[int]],
                  idx: int, root_sig: int) -> None:
-    """verify_group_proof in-circuit: GL row -> pack 3-per-Fr -> sponge ->
-    arity-16 climb with static slot positions from idx."""
-    packed = []
-    for off in range(0, len(row_sigs), 3):
-        chunk = row_sigs[off:off + 3]
-        lc = {sig: 1 << (64 * i) for i, sig in enumerate(chunk)}
-        packed.append(s.lin(lc))
-    # linear_hash_fr sponge (empty rows hash to 0 — zero-width trees)
-    digest = None
-    if not packed:
-        digest = _zero(s)
-    for off in range(0, len(packed), 16):
-        chunk = packed[off:off + 16]
-        while len(chunk) < 16:
-            z = s.alloc(0)
-            s.b.constrain({z: 1}, {0: 1}, {0: 0})
-            chunk.append(z)
-        digest = gd.poseidon_hash16(s, chunk, capacity=digest)
-    node = digest
+    """verify_group_proof in-circuit (ops/merkle_bn128._leaf_hash): narrow
+    rows (<= 4 GL) pack raw into one Fr with no hash; wider rows pack
+    3-per-Fr and run the reference linearHash sponge, whose final short
+    chunk hashes at the narrower width (merkleTreeBN128.cpp:113-151).
+    Then the arity-16 climb with static slot positions from idx."""
+    if len(row_sigs) <= 4:
+        if not row_sigs:
+            node = _zero(s)
+        else:
+            node = s.lin({sig: 1 << (64 * i)
+                          for i, sig in enumerate(row_sigs)})
+    else:
+        packed = []
+        for off in range(0, len(row_sigs), 3):
+            chunk = row_sigs[off:off + 3]
+            lc = {sig: 1 << (64 * i) for i, sig in enumerate(chunk)}
+            packed.append(s.lin(lc))
+        digest = None
+        for off in range(0, len(packed), 16):
+            chunk = packed[off:off + 16]
+            if len(chunk) == 16:
+                digest = gd.poseidon_hash16(s, chunk, capacity=digest)
+            else:
+                digest = gd.poseidon_hash_partial(s, chunk, capacity=digest)
+        node = digest
     i = idx
     for sibs in sib_sigs:
         pos = i % ARITY
@@ -159,8 +182,6 @@ def build(setup, verkey, proof):
     n = s0.n
     steps = list(s0.fri_steps)
     n_pub = 1 + len(proof.publics)
-    assert s0.n_queries * steps[0] <= 252, \
-        "miniature circuit: query bits must fit one squeezed element"
 
     s = Synthesizer(n_public=n_pub)
     verkey_i = int(verkey)
@@ -212,10 +233,9 @@ def build(setup, verkey, proof):
 
     # query indices: recompose from transcript bits, pin to specialization
     ys_host = _host_queries(s0, verkey_i, proof)
-    qfr = t.get_fr()
-    qbits = gd.fr_bits_low(s, qfr, s0.n_queries * steps[0])
+    qbits = t.get_permutation_bits(s0.n_queries, steps[0])
     for qi in range(s0.n_queries):
-        lc = {qbits[qi * steps[0] + j]: 1 << j for j in range(steps[0])}
+        lc = {qbits[qi][j]: 1 << j for j in range(steps[0])}
         got = s.lin(lc)
         s.b.constrain({got: 1, 0: R - ys_host[qi]}, {0: 1}, {0: 0})
     ys = ys_host

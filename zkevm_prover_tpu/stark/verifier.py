@@ -97,6 +97,24 @@ def verify(setup: StarkSetup, verkey, proof: StarkProof) -> bool:
     _check(list(proof.fri_steps) == list(steps), "fri step schedule mismatch")
     _check(len(proof.evals) == len(s.ev_map), "evals length mismatch")
 
+    # ---- 0. proof shape (malformed proofs must fail verification, not
+    # surface as IndexError/zip-truncation silently verifying fewer
+    # openings) ------------------------------------------------------------
+    final_pol_arr = np.asarray(proof.final_pol)
+    _check(final_pol_arr.ndim == 2 and final_pol_arr.shape == (1 << steps[-1], 3),
+           "final_pol shape mismatch")
+    _check(len(proof.fri) == len(steps), "fri layer count mismatch")
+    for li, layer in enumerate(proof.fri):
+        _check(len(layer.queries) == s.n_queries,
+               f"fri layer {li} query count mismatch")
+        for q in layer.queries:
+            if li == 0:
+                _check(len(q) == 5, "layer-0 query must open 5 trees")
+            else:
+                group = 1 << (steps[li - 1] - steps[li])
+                _check(np.asarray(q.values).size == 3 * group,
+                       f"fri layer {li} group width mismatch")
+
     # ---- 1. transcript replay --------------------------------------------
     t = sch.Transcript()
     t.put(sch.root_ints(verkey))
