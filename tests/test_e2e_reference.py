@@ -58,3 +58,16 @@ def test_e2e_counters_populated():
     _, _, res = _run(f"{E2E}/input_executor_0.json")
     for k in ("arith", "binary", "keccakF", "poseidonG", "paddingPG"):
         assert res.counters[k] > 0, f"counter {k} empty"
+
+
+# timestampRecovery family (fork 7): real contract calls + the continuation
+# flags — 0-0 is a 7-tx contract batch, 1-0 a changeL2Block-only batch with
+# skipWriteBlockInfoRoot, 1-1 a skipFirstChangeL2Block continuation whose
+# TIMESTAMP must be recovered from state (main_executor.cpp:249-289)
+@pytest.mark.parametrize("vec", ["0-0", "1-0", "1-1"])
+def test_timestamp_recovery_vectors(vec):
+    got, want, res = _run(
+        "/root/reference/testvectors/timestampRecovery/"
+        f"block-info-batches-{vec}-input.json")
+    assert got == want, (
+        f"newStateRoot mismatch: {got:#066x} != {want:#066x}")

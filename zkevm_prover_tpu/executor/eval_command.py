@@ -177,7 +177,13 @@ def _f_exp(ctx, params):
 
 
 def _f_store_log(ctx, params):
-    ctx.logs.append(tuple(_scalar(p) for p in params))
+    vals = tuple(_scalar(p) for p in params)
+    ctx.logs.append(vals)
+    # storeLog is routed to the tracer like an event (reference handleEvent's
+    # f_storeLog branch, full_tracer.cpp:321-325): (indexLog, isTopic, data)
+    tracer = getattr(ctx, "full_tracer", None)
+    if tracer is not None:
+        tracer.on_store_log(ctx, vals[0], vals[1], vals[2])
     return 0
 
 
@@ -430,17 +436,16 @@ def _f_get_smt_proof(ctx, params):
 # -- FullTracer hooks --------------------------------------------------------
 
 def _f_on_opcode(ctx, params):
+    # normally consumed raw via eventLog -> FullTracer.handle_event; this
+    # evaluated path only fires if a ROM calls onOpcode outside eventLog
     tracer = getattr(ctx, "full_tracer", None)
     if tracer is not None:
-        tracer.on_opcode(ctx)
+        tracer.on_opcode(ctx, {"op": "number", "num": str(_scalar(params[0]))})
     return 0
 
 
 def _f_on_update_storage(ctx, params):
-    tracer = getattr(ctx, "full_tracer", None)
-    if tracer is not None:
-        reg_vals = [_scalar(p) for p in params]
-        tracer.on_update_storage(ctx, *reg_vals)
+    # see _f_on_opcode: the eventLog path hands the tracer the raw ASTs
     return 0
 
 

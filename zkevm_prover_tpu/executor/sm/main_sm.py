@@ -395,7 +395,7 @@ class MainExecutor:
         self.on_step = None  # optional debug hook: (step, zk_pc, ln, ctx)
 
     def execute(self, input: dict | None = None, smt=None,
-                process_batch: bool = False) -> MainResult:
+                process_batch: bool = False, full_tracer=None) -> MainResult:
         """Interpret the ROM.  With `process_batch` (the reference's
         bProcessBatch fast path, main_executor.cpp:5398-5409) the loop
         breaks as soon as the `finalizeExecution` label executes and no
@@ -444,7 +444,25 @@ class MainExecutor:
                 (osr >> (64 * i)) & 0xFFFFFFFFFFFFFFFF for i in range(4))
 
         ctx = _CmdCtx(self, inp, regs8, scal, mem, n)
+        if full_tracer is not None:
+            ctx.full_tracer = full_tracer
         last_step = 0
+
+        # timestamp recovery (reference fork_7+ main_executor.cpp:249-289):
+        # executing transaction-by-transaction across batches loses the
+        # timestamp set by the skipped changeL2Block, so process-batch mode
+        # pre-loads mem[timestamp] from the state — the system contract's
+        # TIMESTAMP_STORAGE_POS slot (A=%ADDRESS_SYSTEM, B=%SMT_KEY_SC_STORAGE,
+        # C=%TIMESTAMP_STORAGE_POS)
+        if process_batch and inp.get("skipFirstChangeL2Block") and \
+                smt is not None and "timestamp" in rom.memory_map:
+            key = (13748230500842749409, 4428676446262882967,
+                   12167292013585018040, 12161933621946006603)
+            old_root = tuple(
+                (inp.get("oldStateRootScalar", 0) >> (64 * i))
+                & 0xFFFFFFFFFFFFFFFF for i in range(4))
+            ts = smt.get(old_root, key).value
+            mem[rom.memory_map["timestamp"]] = _scalar_to_fea8(ts)
 
         poseidon = rm.Poseidon(pc.round_constants(), pc.mds_matrix())
 
@@ -499,6 +517,19 @@ class MainExecutor:
             for l in range(8):
                 op[l] = (op[l] + _const_limb(ln, l)) % P
 
+            # input-flag op overrides at pinned labels (reference
+            # main_executor.cpp:2235-2259): skipFirstChangeL2Block forces
+            # the checkFirstTxType pendingTxs probe non-zero (continuation
+            # batches start mid-block), skipWriteBlockInfoRoot zeroes the
+            # root about to be SSTOREd; both replace op after free inputs
+            op_override = None
+            if zk_pc == rom.labels.get("checkFirstTxType", -1) and \
+                    inp.get("skipFirstChangeL2Block"):
+                op_override = [1] * 8
+            if zk_pc == rom.labels.get("writeBlockInfoRoot", -1) and \
+                    inp.get("skipWriteBlockInfoRoot"):
+                op_override = [0] * 8
+
             # ---- memory address ----------------------------------------
             addr = ln.offset
             if ln.ind:
@@ -531,6 +562,8 @@ class MainExecutor:
                 if ln.inFREE0:
                     op[0] = (op[0] + ln.inFREE0 * free[0]) % P
 
+            if op_override is not None:
+                op = list(op_override)
             for l in range(8):
                 row[col[f"OP{l}"]] = op[l]
 
@@ -547,7 +580,7 @@ class MainExecutor:
                     mem[addr] = list(op)
                 else:
                     val = mem.get(addr, [0] * 8)
-                    if op != val:
+                    if op != val and op_override is None:
                         raise ExecutorError(
                             f"MLOAD mismatch op={op} mem={val}",
                             step, zk_pc, ln)
@@ -571,6 +604,12 @@ class MainExecutor:
                     actions.storage.append(
                         {"op": "get", "root": old_root, "key": key,
                          "value": res.value})
+                    if full_tracer is not None:
+                        full_tracer.add_read_write_address(
+                            _fea8_to_scalar_lenient(regs8["A"]),
+                            _fea8_to_scalar_lenient(regs8["B"]),
+                            _fea8_to_scalar_lenient(regs8["C"]),
+                            res.value, key)
                 else:
                     value = _fea8_to_scalar_strict(
                         regs8["D"], step, zk_pc, ln)
@@ -584,6 +623,12 @@ class MainExecutor:
                     actions.storage.append(
                         {"op": "set", "root": old_root, "key": key,
                          "value": value, "new_root": res.new_root})
+                    if full_tracer is not None:
+                        full_tracer.add_read_write_address(
+                            _fea8_to_scalar_lenient(regs8["A"]),
+                            _fea8_to_scalar_lenient(regs8["B"]),
+                            _fea8_to_scalar_lenient(regs8["C"]),
+                            value, key)
                 counters["poseidonG"] += 2
 
             # ---- hash ops ------------------------------------------------
@@ -728,11 +773,13 @@ class MainExecutor:
                     w0n = _fea8_to_scalar_strict(regs8["D"], step, zk_pc, ln)
                     w1n = _fea8_to_scalar_strict(regs8["E"], step, zk_pc, ln)
                     kind = "wr" if ln.memAlignWR else "wr8"
-                    # value bytes: big-endian slice -> little-endian window;
-                    # LE start of the written span is 64 - off - span
+                    # The SM window is little-endian bytes of the big-endian
+                    # m0||m1, so the value's LSB lands at LE byte 64-off-span
+                    # and the rest follow upward — the value itself is NOT
+                    # byte-swapped (reference formula main_executor.cpp:4548:
+                    # _W0 = (m0 & hi-mask) | (v >> 8*offset))
                     span = 32 if kind == "wr" else 1
-                    v_le = int.from_bytes(
-                        val.to_bytes(32, "big")[-span:], "little")
+                    v_le = val & ((1 << (8 * span)) - 1)
                     act = {"op": kind, "w0": m1, "w1": m0,
                            "offset": 64 - off - span, "value": v_le}
                     nw_lo, nw_hi = ma_sm.result(act)

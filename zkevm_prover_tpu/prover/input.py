@@ -109,6 +109,7 @@ class ProofInput:
     no_counters: bool = False
     update_merkle_tree: bool = True
     timestamp: int = 0
+    trace_config: dict = dataclasses.field(default_factory=dict)
 
     @classmethod
     def from_json(cls, text: str) -> "ProofInput":
@@ -144,7 +145,16 @@ class ProofInput:
             no_counters=bool(d.get("noCounters", False)),
             update_merkle_tree=bool(d.get("updateMerkleTree", True)),
             timestamp=int(d.get("timestamp", 0)),
+            trace_config=d.get("traceConfig", {}),
         )
+
+    def make_full_tracer(self, rom):
+        """A FullTracer bound to this input's traceConfig flags."""
+        from ..executor.full_tracer import FullTracer, TraceConfig
+        return FullTracer(
+            rom, TraceConfig.from_json(self.trace_config),
+            no_counters=self.no_counters,
+            skip_first_change_l2_block=self.skip_first_change_l2_block)
 
     @classmethod
     def from_file(cls, path: str) -> "ProofInput":
