@@ -73,6 +73,45 @@ def test_hashdb_service_roundtrip():
         server.stop(0)
 
 
+@pytest.mark.skipif(
+    not __import__("os").path.exists(
+        "/root/reference/testvectors/e2e/fork_9/input_executor_0.json"),
+    reason="reference tree not mounted")
+def test_executor_service_reference_vector(shared_prover):
+    """ProcessBatch over real gRPC with a reference e2e vector: the full
+    ROM runs server-side and the response carries the FullTracer's
+    block/tx payloads (executor_service.cpp ProcessBatchV2 parity)."""
+    pi = ProofInput.from_file(
+        "/root/reference/testvectors/e2e/fork_9/input_executor_0.json")
+    server = serve_executor(58074, shared_prover)
+    try:
+        client = ExecutorClient("127.0.0.1:58074")
+        resp = client.process_batch_input(
+            pi, trace_config={"enableMemory": True})
+        assert resp.error == 0
+        assert resp.new_state_root == pi.publics.new_state_root
+        assert resp.error_rom == 1 and resp.invalid_batch == 0  # NO_ERROR
+        assert resp.fork_id == 9
+        assert len(resp.block_responses) == 1
+        blk = resp.block_responses[0]
+        assert blk.block_number == 1 and blk.gas_used == 21000
+        assert blk.block_hash.hex() == pi.publics.new_state_root[2:]
+        tx = blk.responses[0]
+        assert tx.status == 1 and tx.gas_used == 21000
+        assert len(tx.tx_hash) == 32 and len(tx.rlp_tx) > 64
+        assert tx.full_trace.context.gas == 100000 or \
+            tx.full_trace.context.gas > 21000
+        assert resp.gas_used == 21000
+        assert resp.counters["poseidonG"] > 0
+        assert len(resp.read_write_addresses) >= 2
+        sender = getattr(tx.full_trace.context, "from")
+        assert sender in resp.read_write_addresses
+        # balances re-read at the final root are decimal strings
+        assert resp.read_write_addresses[sender].balance.isdigit()
+    finally:
+        server.stop(0)
+
+
 def test_executor_service_process_batch(shared_prover):
     server = serve_executor(58071, shared_prover)
     try:
@@ -141,16 +180,16 @@ def test_aggregator_channel_end_to_end(shared_prover):
 
 
 def test_executor_stateless_batch(shared_prover):
+    """Stateless ProcessBatch: stage 1 executes a changeL2Block batch from
+    the empty state through the real ROM; stage 2 encodes the touched
+    state as a witness (semantic SMT_LEAF records) + data stream and
+    replays the NEXT batch statelessly over gRPC — the reference's
+    ProcessStatelessBatchV2 flow (executor_service.cpp:1716)."""
+    from zkevm_prover_tpu.executor import forks
+    from zkevm_prover_tpu.executor.sm.main_sm import MainExecutor
     from zkevm_prover_tpu.hashdb.database import Database
     from zkevm_prover_tpu.hashdb.smt import Smt
     from zkevm_prover_tpu.prover import datastream, witness
-
-    # build a tiny state + stream
-    smt = Smt(Database())
-    ctx = witness._Ctx(b"", smt)
-    key = witness._leaf_key(ctx, 0, 0x1234, 0)
-    root = smt.set((0, 0, 0, 0), key, 55).new_root
-    blob = witness.db_to_witness(smt.db, root)
 
     batch = datastream.DataStreamBatch(batch_number=4, fork_id=9,
                                        chain_id=1101)
@@ -161,14 +200,43 @@ def test_executor_stateless_batch(shared_prover):
         fork_id=9, chain_id=1101)
     batch.blocks = [blk]
     stream = datastream.encode(batch)
+    l2 = datastream.batch_to_l2_data(batch)
+
+    # stage 1: run the batch from the empty state to materialize the
+    # system-contract paths the ROM touches
+    smt = Smt(Database())
+    rom = forks.rom_for_fork(9)
+    inp1 = ProofInput(publics=PublicInputs(
+        old_state_root="0x" + "00" * 32, old_batch_num=3, chain_id=1101,
+        fork_id=9, batch_l2_data="0x" + l2.hex(), timestamp_limit=2000,
+        sequencer_addr="0x" + "0a" * 20))
+    res1 = MainExecutor(rom, 23).execute(
+        inp1.executor_input(), smt=smt, process_batch=True)
+    root1 = res1.new_state_root
+    assert root1 != (0, 0, 0, 0)
+
+    # stage 2: witness of the touched state, with semantic leaf records
+    leaves = {}
+    for a in res1.actions.storage:
+        v = smt.get(root1, a["key"]).value
+        if v:
+            leaves[a["key"]] = (a["key_type"], a["addr"], a["slot"], v)
+    blob = witness.db_to_witness(smt.db, root1, leaves=leaves)
 
     server = serve_executor(58072, shared_prover)
     try:
         client = ExecutorClient("127.0.0.1:58072")
-        resp = client.process_stateless_batch(witness=blob,
-                                              data_stream=stream)
+        resp = client.process_stateless_batch(
+            witness=blob, data_stream=stream, old_batch_num=4,
+            timestamp_limit=2000)
         assert resp.error == 0
         assert resp.new_batch_num == 5
         assert resp.prover_id == "zkevm-prover-tpu"
+        # the replayed batch advanced the state and traced its block
+        root1_hex = "0x" + format(
+            sum(int(root1[i]) << (64 * i) for i in range(4)), "064x")
+        assert resp.new_state_root != root1_hex
+        assert len(resp.block_responses) == 1
+        assert resp.error_rom == 1  # NO_ERROR
     finally:
         server.stop(0)

@@ -599,11 +599,16 @@ class MainExecutor:
                 actions.poseidon_g.append({"state": kin0})
                 actions.poseidon_g.append({"state": kin1})
                 old_root = _fea8_to_fe4(regs8["SR"])
+                sem = {  # semantic key triple (A=addr, B=type, C=slot) —
+                    # lets witness generators emit SMT_LEAF records
+                    "addr": _fea8_to_scalar_lenient(regs8["A"]),
+                    "key_type": _fea8_to_scalar_lenient(regs8["B"]),
+                    "slot": _fea8_to_scalar_lenient(regs8["C"])}
                 if ln.sRD:
                     res = smt.get(old_root, key)
                     actions.storage.append(
                         {"op": "get", "root": old_root, "key": key,
-                         "value": res.value})
+                         "value": res.value, **sem})
                     if full_tracer is not None:
                         full_tracer.add_read_write_address(
                             _fea8_to_scalar_lenient(regs8["A"]),
@@ -622,7 +627,7 @@ class MainExecutor:
                     state_root = res.new_root
                     actions.storage.append(
                         {"op": "set", "root": old_root, "key": key,
-                         "value": value, "new_root": res.new_root})
+                         "value": value, "new_root": res.new_root, **sem})
                     if full_tracer is not None:
                         full_tracer.add_read_write_address(
                             _fea8_to_scalar_lenient(regs8["A"]),

@@ -213,14 +213,19 @@ class ProofInput:
     def seed_database(self, database) -> None:
         """Preload a hashdb.Database with the input's node and program
         preimages (reference Input::loadDatabase, input.cpp:640-720).
-        Keys are 256-bit hex scalars; Database keys are the same value as
-        4 little-endian 64-bit Goldilocks limbs (scalar2fea)."""
+        Keys are 256-bit hex scalars (or fe4 tuples from the witness
+        parser); values are 12-element lists of hex strings or ints."""
         for key, vals in self.db.items():
-            database.write(scalar_to_fe4(_hex_int(key)),
-                           [int(v, 16) for v in vals])
+            fe4 = key if isinstance(key, tuple) else \
+                scalar_to_fe4(_hex_int(key))
+            database.write(fe4, [v if isinstance(v, int) else int(v, 16)
+                                 for v in vals])
         for key, code in self.contracts_bytecode.items():
-            database.set_program(scalar_to_fe4(_hex_int(key)),
-                                 bytes.fromhex(code.removeprefix("0x")))
+            fe4 = key if isinstance(key, tuple) else \
+                scalar_to_fe4(_hex_int(key))
+            database.set_program(
+                fe4, code if isinstance(code, bytes)
+                else bytes.fromhex(code.removeprefix("0x")))
 
 
 _PUB_KEYS = {

@@ -128,12 +128,50 @@ class Prover:
 
     def process_batch(self, inp: ProofInput) -> dict:
         """Fast path: execute without proving (reference: Executor::
-        process_batch, no commit pols)."""
+        process_batch -> MainExecutor only, 2-row pols, executor.cpp:20).
+
+        With a reference-schema input (batchL2Data / db present) this runs
+        the real fork ROM through the interpreter with a FullTracer and
+        returns the block/tx/log responses; the legacy pre-cooked action
+        path remains for the synthetic pipeline tests."""
+        has_actions = any(
+            getattr(inp.actions, f.name)
+            for f in dataclasses.fields(inp.actions))
+        if not has_actions and (inp.publics.batch_l2_data not in ("", "0x")
+                                or inp.db):
+            return self._process_batch_rom(inp)
         counters = self.executor.counters(inp.actions)
         pub = dataclasses.replace(inp.publics)
         pub.new_acc_input_hash = pub.acc_input_hash()
         pub.new_batch_num = pub.old_batch_num + 1
         return {"publics": pub, "counters": counters}
+
+    def _process_batch_rom(self, inp: ProofInput) -> dict:
+        from ..executor import forks
+        from ..executor.sm.main_sm import MainExecutor
+        from ..hashdb.database import Database
+        from ..hashdb.smt import Smt
+
+        db = Database()
+        inp.seed_database(db)
+        smt = Smt(db)
+        rom = forks.rom_for_fork(int(inp.publics.fork_id))
+        tracer = inp.make_full_tracer(rom)
+        res = MainExecutor(rom, 23).execute(
+            inp.executor_input(), smt=smt, process_batch=True,
+            full_tracer=tracer)
+        if res.new_state_root is not None:
+            tracer.fill_in_read_write_addresses(smt, res.new_state_root)
+        ft = tracer.final_trace
+        pub = dataclasses.replace(inp.publics)
+        pub.new_state_root = ft.new_state_root or pub.old_state_root
+        pub.new_acc_input_hash = ft.new_acc_input_hash
+        pub.new_local_exit_root = ft.new_local_exit_root
+        pub.new_batch_num = pub.old_batch_num + 1
+        counters = dict(res.counters)
+        counters["steps"] = res.last_step
+        return {"publics": pub, "counters": counters,
+                "tracer": tracer, "last_step": res.last_step}
 
     def gen_batch_proof(self, inp: ProofInput) -> BatchProof:
         with timer("EXECUTOR_EXECUTE_BATCH_PROOF", self.metrics, log=False):

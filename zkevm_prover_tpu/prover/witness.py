@@ -193,16 +193,24 @@ def _cbor_enc_bytes(b: bytes) -> bytes:
 
 
 def db_to_witness(db: Database, root: tuple, programs: dict | None = None,
-                  _level: int = 0) -> bytes:
-    """Encode the touched subtree under `root` as a witness blob
-    (inverse of witness_to_db for SMT-shaped tries; CODE blobs from
-    `programs` are not re-attached — value leaves only)."""
+                  leaves: dict | None = None, _level: int = 0) -> bytes:
+    """Encode the touched subtree under `root` as a witness blob (inverse
+    of witness_to_db for SMT-shaped tries).
+
+    `leaves` maps full leaf key (fe4 tuple) -> (node_type, address,
+    storage_key, value): leaves listed there are emitted as semantic
+    SMT_LEAF records (opcode 0x07) so the receiver can re-derive and READ
+    them — the form a sequencer's witness generator produces, where the
+    (address, key) semantics are known.  Unlisted leaves degrade to HASH
+    placeholders (opaque, proving membership only)."""
     out = b"\x01" if _level == 0 else b""
-    out += _encode_node(db, tuple(int(v) for v in root), _level)
+    out += _encode_node(db, tuple(int(v) for v in root), _level,
+                        leaves or {})
     return out
 
 
-def _encode_node(db: Database, node_hash: tuple, level: int) -> bytes:
+def _encode_node(db: Database, node_hash: tuple, level: int,
+                 leaves: dict) -> bytes:
     if node_hash == (0, 0, 0, 0):
         raise WitnessError("cannot encode an absent subtree directly")
     node = db.read(node_hash)
@@ -210,8 +218,18 @@ def _encode_node(db: Database, node_hash: tuple, level: int) -> bytes:
         # untouched: emit a HASH placeholder
         v = sum(int(node_hash[i]) << (64 * i) for i in range(4))
         return b"\x03" + v.to_bytes(32, "big")
-    if node[8] == 1:  # leaf — re-emit as HASH (the generic encoder cannot
-        # recover (address, storageKey) from the derived key)
+    if node[8] == 1:  # leaf
+        rkey = tuple(int(x) for x in node[:4])
+        for key, (node_type, address, storage_key, value) in leaves.items():
+            if ku.remove_key_bits(tuple(int(k) for k in key),
+                                  level) == rkey:
+                out = b"\x07" + bytes([node_type])
+                out += _cbor_enc_uint(int(address))
+                if node_type == SC_STORAGE:
+                    out += _cbor_enc_uint(int(storage_key))
+                out += _cbor_enc_uint(int(value))
+                return out
+        # semantics unknown: opaque placeholder
         v = sum(int(node_hash[i]) << (64 * i) for i in range(4))
         return b"\x03" + v.to_bytes(32, "big")
     mask = 0
@@ -220,5 +238,5 @@ def _encode_node(db: Database, node_hash: tuple, level: int) -> bytes:
         child = tuple(int(x) for x in node[4 * bit:4 * bit + 4])
         if child != (0, 0, 0, 0):
             mask |= 1 << bit
-            parts += _encode_node(db, child, level + 1)
+            parts += _encode_node(db, child, level + 1, leaves)
     return b"\x02" + _enc_major(0, mask) + parts
