@@ -164,6 +164,80 @@ def test_arith_tampered_product_rejected():
     assert prover.check_constraints(trace) != []
 
 
+def test_arith_bn254_fp2_ops_and_air():
+    """eq5-10: BN254 Fp2 mul/add/sub vs integer oracles (ref
+    sm_arith_eq5..eq10 equation headers + arith_executor.cpp:247-365)."""
+    rng = random.Random(7)
+    p = arith.PBN
+    a, b, c, d = (rng.randrange(p) for _ in range(4))
+    assert arith.fp2_result("mulfp2", a, b, c, d) == (
+        (a * c - b * d) % p, (b * c + a * d) % p)
+    assert arith.fp2_result("addfp2", a, b, c, d) == (
+        (a + c) % p, (b + d) % p)
+    assert arith.fp2_result("subfp2", a, b, c, d) == (
+        (a - c) % p, (b - d) % p)
+    acts = [
+        {"op": "mulfp2", "x1": a, "y1": b, "x2": c, "y2": d},
+        {"op": "addfp2", "x1": a, "y1": b, "x2": c, "y2": d},
+        {"op": "subfp2", "x1": a, "y1": b, "x2": c, "y2": d},
+        # unreduced 256-bit inputs are legal (the reference reduces
+        # operands only inside fq; the SM constrains x3/y3)
+        {"op": "mulfp2", "x1": M256, "y1": M256, "x2": M256, "y2": M256},
+        {"op": "addfp2", "x1": M256, "y1": M256, "x2": M256, "y2": M256},
+        {"op": "subfp2", "x1": 0, "y1": 0, "x2": M256, "y2": M256},
+    ]
+    trace = arith.execute(acts, N_BITS)
+    _check("arith", arith.build_air, N_BITS, trace)
+
+
+def test_arith_alias_y3_plus_p_rejected():
+    """A y3 alias (y3 + p, quotient adjusted so the carry chain still
+    balances) must be caught by the chunk-scan range proof."""
+    p = arith.PBN
+    a, b, c, d = 11, 22, 33, 44
+    x3, y3, q1, q2 = arith._fp2_witness("addfp2", a, b, c, d)
+    assert y3 + p < (1 << 256)
+    trace = arith.execute([], N_BITS)
+    arith.fill_group(trace, 0, N_BITS, "addfp2",
+                     (a, b, c, d, x3, y3 + p, 0, 0, q1, q2 - 1),
+                     check=False)
+    prover = _prover_for("arith", arith.build_air, N_BITS)
+    assert prover.check_constraints(trace) != [], \
+        "alias y3+p must violate the chunk scan"
+
+
+def test_arith_fake_add_same_x_rejected():
+    """SELADD with x2 == x1 lets any slope satisfy eq1 (0 == 0); the
+    xAreDifferent gadget must reject the forged sum."""
+    gx, gy, _, _ = _secp_points()
+    pe = arith.FPEC
+    s = 0xDEADBEEF  # arbitrary forged slope
+    e_slope = s * gx - s * gx - gy + gy  # 0: eq1 is satisfied for any s
+    q0 = e_slope // pe + arith.OFF_SLOPE
+    x3 = (s * s - gx - gx) % pe
+    q1 = (s * s - gx - gx - x3) // pe + arith.OFF_X3
+    y3 = (s * (gx - x3) - gy) % pe
+    q2 = (s * gx - s * x3 - gy - y3) // pe + arith.OFF_Y3
+    trace = arith.execute([], N_BITS)
+    arith.fill_group(trace, 0, N_BITS, "add",
+                     (gx, gy, gx, gy, x3, y3, s, q0, q1, q2), check=False)
+    prover = _prover_for("arith", arith.build_air, N_BITS)
+    assert prover.check_constraints(trace) != [], \
+        "add with x2 == x1 must violate xAreDifferent"
+
+
+def test_arith_oversize_limb_rejected():
+    """A limb >= 2^16 in a column no live chain reads (Q0 on a mul group)
+    is caught ONLY by the byte-decomposition range lanes."""
+    acts = [{"x1": 3, "y1": 5, "x2": 1}]
+    trace = arith.execute(acts, N_BITS)
+    q0c = 7 * arith.L  # Q0 limb 0 — dead weight for eq0 groups
+    trace[:32, q0c] = np.uint64(1 << 16)
+    prover = _prover_for("arith", arith.build_air, N_BITS)
+    assert prover.check_constraints(trace) != [], \
+        "17-bit limb must violate the range lanes"
+
+
 def test_executor_end_to_end_proof():
     # full prove/verify for memory + arith; binary's complete prove pipeline
     # is covered by the engine e2e tests and its AIR/negative tests above

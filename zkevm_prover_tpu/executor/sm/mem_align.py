@@ -20,8 +20,9 @@ counted total (span = 32, or 1 for the WR8 single-byte write). Window
 positions are unique per group, so each routed byte is pinned to exactly
 the right partner — no offset-dependent factor tables.
 
-Committed: B, BO, OFF, INS, CNT, ISWR, ISWR8, and the M0/M1/V/NM0/NM1
-running limb accumulators (finals at the last group row).
+Committed: B, BO, OFF, INS, CNT, ISWR, ISWR8, the M0/M1/V/NM0/NM1
+running limb accumulators (finals at the last group row), and ACT (the
+active-group flag selecting interface rows for the Main binding).
 """
 
 from __future__ import annotations
@@ -52,6 +53,7 @@ def build_air(n_bits: int) -> AIR:
     iswr, iswr8 = air.committed("ISWR", "ISWR8")
     nm0 = air.committed(*[f"NM0_{j}" for j in range(N_LIMB)])
     nm1 = air.committed(*[f"NM1_{j}" for j in range(N_LIMB)])
+    act = air.committed("ACT")  # 1 on rows of an active operation group
 
     pos = np.arange(n, dtype=np.uint64) % GROUP
     wsel = (pos < WIN).astype(np.uint64)
@@ -162,6 +164,11 @@ def build_air(n_bits: int) -> AIR:
             NLG * (ex.Cm(nm0[j].id, True) - (nm0[j] + bo * f0[j])))
         air.require_zero(
             NLG * (ex.Cm(nm1[j].id, True) - (nm1[j] + bo * f1[j])))
+
+    # active-group flag: boolean, constant within a group — the interface
+    # selector for the Main binding (one main memAlign row <-> one group)
+    air.require_zero(act * (1 - act))
+    air.require_zero(NLG * (ex.Cm(act.id, True) - act))
     return air
 
 
@@ -172,7 +179,7 @@ def execute(actions: list[dict], n_bits: int) -> tuple[np.ndarray, list]:
     (new_w0, new_w1) pair for wr/wr8.
     """
     n = 1 << n_bits
-    n_cols = 2 + 3 * N_LIMB + 5 + 2 * N_LIMB
+    n_cols = 2 + 3 * N_LIMB + 5 + 2 * N_LIMB + 1
     tr = np.zeros((n, n_cols), dtype=np.uint64)
     assert len(actions) * GROUP <= n
     results = []
@@ -222,7 +229,7 @@ def execute(actions: list[dict], n_bits: int) -> tuple[np.ndarray, list]:
                 byte = obyte = insv = 0
             tr[base + p] = ([byte, offset] + m0 + m1 + vv
                             + [obyte, insv, cntv, iswr, iswr8]
-                            + nm0 + nm1)
+                            + nm0 + nm1 + [1])
             cntv += insv
             if p < 32:
                 m0[p >> 2] += byte << (8 * (p & 3))
