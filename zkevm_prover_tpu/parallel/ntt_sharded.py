@@ -113,17 +113,20 @@ def ntt_sharded(x, mesh: Mesh, *, axis: str = "row", n_bits: int | None = None,
 
 
 def extend_pol_sharded(evals, n_bits: int, n_bits_ext: int, mesh: Mesh, *,
-                       axis: str = "row", shift: int | None = None):
+                       axis: str = "row", shift: int | None = None,
+                       col_axis: str | None = "col"):
     """Distributed low-degree extension (NTT_Goldilocks::extendPol shape):
     INTT on the trace domain -> coefficient coset scale -> zero-pad ->
     forward NTT on the extended domain, all row-sharded over mesh[axis]."""
     if shift is None:
         shift = gl.shift()
     n = 1 << n_bits
-    coefs = ntt_sharded(evals, mesh, axis=axis, n_bits=n_bits, inverse=True)
+    coefs = ntt_sharded(evals, mesh, axis=axis, n_bits=n_bits, inverse=True,
+                        col_axis=col_axis)
     spow = nttmod.geometric_powers(shift, n).reshape(
         (n,) + (1,) * (evals.ndim - 1))
     coefs = gl.mul(coefs, spow)
     pad = jnp.zeros(((1 << n_bits_ext) - n, *evals.shape[1:]), jnp.uint64)
     coefs = jnp.concatenate([coefs, pad], axis=0)
-    return ntt_sharded(coefs, mesh, axis=axis, n_bits=n_bits_ext)
+    return ntt_sharded(coefs, mesh, axis=axis, n_bits=n_bits_ext,
+                       col_axis=col_axis)

@@ -3,12 +3,11 @@
 The per-phase data flow of Starks::genProof (src/starkpil/starks.cpp:53-60:
 extendPol then merkelize) mapped onto a device mesh:
 
-  LDE        columns are independent -> column-sharded (mesh axis `col`);
-             the row-axis NTT of each column stays on one device group.
-  Merkle     leaf linear-hash needs whole rows -> row-sharded (axis `row`);
-             GSPMD inserts the col->row resharding (an all-to-all) between
-             the two, which is exactly the transpose the four-step NTT
-             would do by hand.
+  LDE        row-sharded distributed four-step NTT (ntt_sharded.py): the
+             transpose between butterfly passes is an explicit all_to_all
+             inside shard_map — no GSPMD-chosen resharding anywhere.
+  Merkle     leaf linear-hash needs whole rows -> already row-sharded, so
+             hashing is device-local.
   reduce     tree levels halve until they are smaller than the row shard;
              the tail runs replicated (it is log(N) tiny hashes).
 
@@ -40,18 +39,21 @@ def commit_step(cm, n_bits: int, n_bits_ext: int):
 def commit_step_sharded(mesh: Mesh, n_bits: int, n_bits_ext: int):
     """Build the jitted multi-chip commit step for the given mesh.
 
-    Input (N, C) arrives column-sharded; the LDE output is constrained
-    column-sharded, then re-constrained row-sharded before hashing so XLA
-    places the resharding collective between NTT and Poseidon.
+    Everything stays ROW-sharded: the LDE runs the distributed four-step
+    NTT (explicit all_to_all inside shard_map, ntt_sharded.py), so the
+    Poseidon leaf hashing that follows is row-local with NO resharding.
+    Round 1 kept the LDE column-sharded and asked GSPMD to move col->row
+    afterwards, which XLA satisfied by replicating the whole tensor (the
+    "involuntary full rematerialization" warning) — fatal at 2^24x751.
     """
-    col_s = NamedSharding(mesh, P(None, "col"))
+    from . import ntt_sharded as nsh
+
     row_s = NamedSharding(mesh, P("row", None))
     repl = NamedSharding(mesh, P())
 
     def step(cm):
-        ext = nttmod.extend_pol(cm, n_bits, n_bits_ext)
-        ext = jax.lax.with_sharding_constraint(ext, col_s)
-        ext = jax.lax.with_sharding_constraint(ext, row_s)
+        ext = nsh.extend_pol_sharded(cm, n_bits, n_bits_ext, mesh,
+                                     axis="row", col_axis=None)
         leaves = pos.linear_hash(ext)
         n_row = mesh.shape["row"]
         while leaves.shape[0] > max(n_row, 1):
@@ -61,4 +63,4 @@ def commit_step_sharded(mesh: Mesh, n_bits: int, n_bits_ext: int):
             leaves = pos.hash_level(leaves)
         return leaves[0]
 
-    return jax.jit(step, in_shardings=col_s, out_shardings=repl)
+    return jax.jit(step, in_shardings=row_s, out_shardings=repl)

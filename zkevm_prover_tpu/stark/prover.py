@@ -115,11 +115,21 @@ class StarkProver:
 
     Reference analogue: the Starks object, which preloads const pols and their
     Merkle tree at startup (src/starkpil/starks.hpp:75-140).
+
+    With `mesh` (a 1-axis jax.sharding.Mesh), every (N, cols) section is
+    row-sharded over `mesh_axis` and the LDEs run the distributed four-step
+    NTT (parallel/ntt_sharded.py: shard_map + all_to_all over ICI). All
+    other phases are row-local or XLA-partitionable (sorts, scans, hashes),
+    so GSPMD needs no data resharding — the fix for the involuntary full
+    rematerialization the round-1 col->row constraint pair caused. Proof
+    bytes are bit-identical to the single-chip path (exact integer math).
     """
 
-    def __init__(self, setup: StarkSetup):
+    def __init__(self, setup: StarkSetup, mesh=None, mesh_axis: str = "row"):
         self.setup = setup
         self.scheme = schememod.get(getattr(setup, "hash_type", "GL"))
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
         s = setup
         self.blowup = 1 << (s.n_bits_ext - s.n_bits)
 
@@ -128,11 +138,9 @@ class StarkProver:
             if s.air.const_values
             else np.zeros((s.n, 0), dtype=np.uint64)
         )
-        self.const_n = jnp.asarray(consts)
+        self.const_n = self._shard(jnp.asarray(consts))
         if consts.shape[1]:
-            self.const_2ns = jax.jit(
-                lambda v: nttmod.extend_pol(v, s.n_bits, s.n_bits_ext)
-            )(self.const_n)
+            self.const_2ns = self._extend(self.const_n)
         else:
             self.const_2ns = jnp.zeros((s.n_ext, 0), dtype=jnp.uint64)
         self.const_tree = self.scheme.commit(self.const_2ns)
@@ -154,6 +162,17 @@ class StarkProver:
             zh = (sn * pow(wn, m, gl.P) - 1) % gl.P
             zi_vals.append(pow(zh, gl.P - 2, gl.P))
         self._zi_2ns = jnp.asarray(np.tile(np.array(zi_vals, np.uint64), s.n))
+
+    # -- sharding ------------------------------------------------------------
+
+    def _shard(self, arr):
+        """Row-shard an (N, ...) section over the mesh (no-op single-chip)."""
+        if self.mesh is None:
+            return arr
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        spec = PartitionSpec(self.mesh_axis, *([None] * (arr.ndim - 1)))
+        return jax.device_put(arr, NamedSharding(self.mesh, spec))
 
     # -- bindings ------------------------------------------------------------
 
@@ -191,6 +210,12 @@ class StarkProver:
     @functools.cached_property
     def _extend(self):
         s = self.setup
+        if self.mesh is not None:
+            from ..parallel import ntt_sharded as nsh
+
+            mesh, ax = self.mesh, self.mesh_axis
+            return jax.jit(lambda v: nsh.extend_pol_sharded(
+                v, s.n_bits, s.n_bits_ext, mesh, axis=ax, col_axis=None))
         return jax.jit(lambda v: nttmod.extend_pol(v, s.n_bits, s.n_bits_ext))
 
     @functools.cached_property
@@ -256,17 +281,29 @@ class StarkProver:
             # split q into qDeg degree-<N polys, each evaluated on the coset
             # (reference: INTT -> per-chunk shift^{-pN} scale -> NTT,
             #  starks.cpp:262-287)
-            coefs = nttmod.intt(q, s.n_bits_ext)  # \hat c_j = c_j shift^j
+            coefs = self._ntt_ext(q, inverse=True)  # \hat c_j = c_j shift^j
             shift_in = pow(gl.shift_inv(), s.n, gl.P)
             chunks = []
             for p in range(s.q_deg):
                 c = coefs[p * s.n : (p + 1) * s.n]
                 c = gl.mul(c, jnp.uint64(pow(shift_in, p, gl.P)))
                 pad = jnp.zeros((s.n_ext - s.n, 3), jnp.uint64)
-                chunks.append(nttmod.ntt(jnp.concatenate([c, pad]), s.n_bits_ext))
+                chunks.append(self._ntt_ext(jnp.concatenate([c, pad]),
+                                            inverse=False))
             return jnp.concatenate(chunks, axis=1)  # (NExt, 3*qDeg)
 
         return jax.jit(run)
+
+    def _ntt_ext(self, v, *, inverse: bool):
+        """NTT/INTT on the extended domain — distributed under a mesh."""
+        s = self.setup
+        if self.mesh is not None:
+            from ..parallel import ntt_sharded as nsh
+
+            return nsh.ntt_sharded(v, self.mesh, axis=self.mesh_axis,
+                                   n_bits=s.n_bits_ext, inverse=inverse,
+                                   col_axis=None)
+        return (nttmod.intt if inverse else nttmod.ntt)(v, s.n_bits_ext)
 
     @functools.cached_property
     def _phase5_evals_fn(self):
@@ -341,7 +378,7 @@ class StarkProver:
         The role of the reference's zkassert in calculateZ
         (polinomial.hpp:606) and of proverjs pol checks."""
         s = self.setup
-        cm1_n = jnp.asarray(cm1_values, dtype=jnp.uint64)
+        cm1_n = self._shard(jnp.asarray(cm1_values, dtype=jnp.uint64))
         if publics is None:
             publics = [int(cm1_values[row, cid]) for (_, cid, row) in s.air.publics]
         publics_dev = jnp.asarray(np.array(publics, dtype=np.uint64))
@@ -380,7 +417,7 @@ class StarkProver:
     def prove(self, cm1_values, publics=None) -> StarkProof:
         """Generate a proof for stage-1 trace `cm1_values` ((N, nCm1) uint64)."""
         s = self.setup
-        cm1_n = jnp.asarray(cm1_values, dtype=jnp.uint64)
+        cm1_n = self._shard(jnp.asarray(cm1_values, dtype=jnp.uint64))
         assert cm1_n.shape == (s.n, s.air.n_cm1)
 
         if publics is None:
