@@ -179,12 +179,15 @@ def test_aggregator_channel_end_to_end(shared_prover):
         server.stop()
 
 
-def test_executor_stateless_batch(shared_prover):
-    """Stateless ProcessBatch: stage 1 executes a changeL2Block batch from
-    the empty state through the real ROM; stage 2 encodes the touched
-    state as a witness (semantic SMT_LEAF records) + data stream and
-    replays the NEXT batch statelessly over gRPC — the reference's
-    ProcessStatelessBatchV2 flow (executor_service.cpp:1716)."""
+_stateless_cache: dict = {}
+
+
+def _stateless_fixture():
+    """(witness blob, data stream, root after stage 1) — stage 1 executes
+    a changeL2Block batch from the empty state through the real ROM, then
+    encodes the touched state as a semantic-leaf witness."""
+    if _stateless_cache:
+        return _stateless_cache["fix"]
     from zkevm_prover_tpu.executor import forks
     from zkevm_prover_tpu.executor.sm.main_sm import MainExecutor
     from zkevm_prover_tpu.hashdb.database import Database
@@ -202,8 +205,6 @@ def test_executor_stateless_batch(shared_prover):
     stream = datastream.encode(batch)
     l2 = datastream.batch_to_l2_data(batch)
 
-    # stage 1: run the batch from the empty state to materialize the
-    # system-contract paths the ROM touches
     smt = Smt(Database())
     rom = forks.rom_for_fork(9)
     inp1 = ProofInput(publics=PublicInputs(
@@ -215,13 +216,21 @@ def test_executor_stateless_batch(shared_prover):
     root1 = res1.new_state_root
     assert root1 != (0, 0, 0, 0)
 
-    # stage 2: witness of the touched state, with semantic leaf records
     leaves = {}
     for a in res1.actions.storage:
         v = smt.get(root1, a["key"]).value
         if v:
             leaves[a["key"]] = (a["key_type"], a["addr"], a["slot"], v)
     blob = witness.db_to_witness(smt.db, root1, leaves=leaves)
+    _stateless_cache["fix"] = (blob, stream, root1)
+    return _stateless_cache["fix"]
+
+
+def test_executor_stateless_batch(shared_prover):
+    """Stateless ProcessBatch: replay the next batch from witness + data
+    stream over gRPC — the reference's ProcessStatelessBatchV2 flow
+    (executor_service.cpp:1716)."""
+    blob, stream, root1 = _stateless_fixture()
 
     server = serve_executor(58072, shared_prover)
     try:
@@ -240,3 +249,27 @@ def test_executor_stateless_batch(shared_prover):
         assert resp.error_rom == 1  # NO_ERROR
     finally:
         server.stop(0)
+
+
+def test_aggregator_stateless_batch_request(shared_prover):
+    """GenStatelessBatchProof on the AGGREGATOR channel (reference
+    aggregator.proto:32): the request handler reconstructs the batch
+    input from witness + data stream and submits a genBatchProof."""
+    import aggregator_pb2 as apb
+    from zkevm_prover_tpu.services.aggregator import AggregatorClient
+
+    blob, stream, _ = _stateless_fixture()
+    client = AggregatorClient(shared_prover, "127.0.0.1:1")  # no start()
+    msg = apb.AggregatorMessage(id="sb-1")
+    pi = msg.gen_stateless_batch_proof_request.input.public_inputs
+    pi.witness = blob
+    pi.data_stream = stream
+    pi.timestamp_limit = 2000
+    out = client._handle(msg)
+    assert out.WhichOneof("response") == "gen_batch_proof_response"
+    assert out.gen_batch_proof_response.result == apb.RESULT_OK
+    rid = out.gen_batch_proof_response.id
+    req = client._requests[rid]
+    assert req.done.wait(timeout=900), "stateless batch proof timed out"
+    assert req.error is None, req.error
+    assert req.result is not None

@@ -111,6 +111,28 @@ class AggregatorClient:
                                self._parse_input(msg.gen_batch_proof_request.input))
             out.gen_batch_proof_response.id = rid
             out.gen_batch_proof_response.result = pb.RESULT_OK
+        elif kind == "gen_stateless_batch_proof_request":
+            # reference aggregator.proto:32 — witness/datastream batch
+            # proving on the aggregator channel (fork >= 9 path)
+            from .executor_service import stateless_proof_input
+
+            pi = msg.gen_stateless_batch_proof_request.input.public_inputs
+            try:
+                inp = stateless_proof_input(
+                    pi.witness, pi.data_stream,
+                    old_acc_input_hash=(
+                        "0x" + pi.old_acc_input_hash.hex()
+                        if pi.old_acc_input_hash else ""),
+                    l1_info_root=("0x" + pi.l1_info_root.hex()
+                                  if pi.l1_info_root else ""),
+                    timestamp_limit=pi.timestamp_limit,
+                )
+                rid = self._submit("genBatchProof", inp)
+                out.gen_batch_proof_response.id = rid
+                out.gen_batch_proof_response.result = pb.RESULT_OK
+            except Exception as e:  # noqa: BLE001
+                zklog.error(f"genStatelessBatchProof: {e}")
+                out.gen_batch_proof_response.result = pb.RESULT_ERROR
         elif kind == "gen_aggregated_proof_request":
             r = msg.gen_aggregated_proof_request
             try:

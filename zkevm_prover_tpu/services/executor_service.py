@@ -155,6 +155,47 @@ def tracer_response_fields(tracer) -> dict:
     }
 
 
+def stateless_proof_input(witness: bytes, data_stream: bytes, *,
+                          old_acc_input_hash: str = "",
+                          old_batch_num: int = 0,
+                          l1_info_root: str = "",
+                          timestamp_limit: int = 0) -> ProofInput:
+    """Reconstruct a provable batch input from witness + data stream —
+    shared by the executor service's ProcessStatelessBatch and the
+    aggregator channel's GenStatelessBatchProof (reference:
+    executor_service.cpp:1716 / aggregator.proto:32)."""
+    from ..prover import datastream as ds
+    from ..prover import witness as wit
+
+    db, root, programs = wit.witness_to_db(witness)
+    batch = ds.parse(data_stream)
+    l2_data = ds.batch_to_l2_data(batch)
+    # canonical fea2scalar: limb i contributes << 64*i
+    root_hex = "0x" + format(
+        sum(int(root[i]) << (64 * i) for i in range(4)), "064x")
+    seq = (batch.blocks[0].coinbase.hex()
+           if batch.blocks else "00" * 20)
+    return ProofInput(
+        publics=PublicInputs(
+            old_state_root=root_hex,
+            old_acc_input_hash=old_acc_input_hash or "0x" + "00" * 32,
+            old_batch_num=old_batch_num or batch.batch_number,
+            chain_id=batch.chain_id or 1000,
+            fork_id=batch.fork_id or 9,
+            batch_l2_data="0x" + l2_data.hex(),
+            l1_info_root=l1_info_root or "0x" + "00" * 32,
+            timestamp_limit=timestamp_limit,
+            sequencer_addr="0x" + seq,
+        ),
+        # Database._k strings are limb0..limb3 hex-concatenated —
+        # decode back to fe4 tuples (NOT a big-endian scalar)
+        db={tuple(int(k[i * 16:(i + 1) * 16], 16) for i in range(4)): v
+            for k, v in db._nodes.items()},
+        contracts_bytecode={hex(k): v.hex()
+                            for k, v in programs.items()},
+    )
+
+
 class ExecutorServiceImpl:
     def __init__(self, prover: Prover):
         self.prover = prover
@@ -231,37 +272,13 @@ class ExecutorServiceImpl:
     def ProcessStatelessBatch(self, req, ctx):
         """Reconstruct the batch input from witness + data stream
         (reference: ProcessStatelessBatchV2, executor_service.cpp:1716)."""
-        from ..prover import datastream as ds
-        from ..prover import witness as wit
-
         try:
-            db, root, programs = wit.witness_to_db(req.witness)
-            batch = ds.parse(req.data_stream)
-            l2_data = ds.batch_to_l2_data(batch)
-            # canonical fea2scalar: limb i contributes << 64*i
-            root_hex = "0x" + format(
-                sum(int(root[i]) << (64 * i) for i in range(4)), "064x")
-            seq = (batch.blocks[0].coinbase.hex()
-                   if batch.blocks else "00" * 20)
-            inp = ProofInput(
-                publics=PublicInputs(
-                    old_state_root=root_hex,
-                    old_acc_input_hash=req.old_acc_input_hash
-                    or "0x" + "00" * 32,
-                    old_batch_num=req.old_batch_num or batch.batch_number,
-                    chain_id=batch.chain_id or 1000,
-                    fork_id=batch.fork_id or 9,
-                    batch_l2_data="0x" + l2_data.hex(),
-                    l1_info_root=req.l1_info_root or "0x" + "00" * 32,
-                    timestamp_limit=req.timestamp_limit,
-                    sequencer_addr="0x" + seq,
-                ),
-                # Database._k strings are limb0..limb3 hex-concatenated —
-                # decode back to fe4 tuples (NOT a big-endian scalar)
-                db={tuple(int(k[i * 16:(i + 1) * 16], 16) for i in range(4)): v
-                    for k, v in db._nodes.items()},
-                contracts_bytecode={hex(k): v.hex()
-                                    for k, v in programs.items()},
+            inp = stateless_proof_input(
+                req.witness, req.data_stream,
+                old_acc_input_hash=req.old_acc_input_hash,
+                old_batch_num=req.old_batch_num,
+                l1_info_root=req.l1_info_root,
+                timestamp_limit=req.timestamp_limit,
             )
             res = self.prover.process_batch(inp)
         except Exception:  # noqa: BLE001 — internal error surface
