@@ -83,6 +83,151 @@ def test_combined_air_rejects_cross_sm_forgery():
         "combined AIR must reject the forged memory row"
 
 
+def _ma_rom():
+    if "marom" not in _cache:
+        from zkevm_prover_tpu.executor.sm import mem_align as ma
+
+        m0 = 0x11223344_55667788_99AABBCC_DDEEFF00_A1A2A3A4_A5A6A7A8 << 64
+        m1 = 0xB1B2B3B4 << 200 | 0xC5C6
+        val = 0xDEADBEEF_CAFEF00D << 96 | 0x42
+        off = 5
+        nw0, nw1 = ma.result(  # window coords: w0=m1, w1=m0
+            {"op": "wr", "w0": m1, "w1": m0, "offset": 32 - off,
+             "value": val})
+        rb = RomBuilder()
+        rb.line(CONSTL=m0, setA=1)
+        rb.line(CONSTL=m1, setB=1)
+        rb.line(CONST=off, setC=1)
+        rb.line(CONSTL=nw1, setD=1)   # new m0
+        rb.line(CONSTL=nw0, setE=1)   # new m1
+        rb.line("value :MEM_ALIGN_WR", CONSTL=val, memAlignWR=1)
+        # read back 32 bytes at offset 9 of the OLD window
+        rb.line(CONST=9, setC=1)
+        rb.line("$ => D :MEM_ALIGN_RD", inFREE=1, memAlignRD=1, setD=1)
+        rb.clear_registers()
+        rb.finalize()
+        _cache["marom"] = rb.build()
+    return _cache["marom"]
+
+
+MA_INCLUDE = ("mem_align",)
+
+
+def _ma_prover():
+    if "map" not in _cache:
+        _cache["map"] = StarkProver(StarkSetup(
+            combined.build_batch_air(_ma_rom(), N_BITS, include=MA_INCLUDE),
+            n_queries=8, fri_fold_bits=2))
+    return _cache["map"]
+
+
+def test_combined_mem_align_binding_satisfied():
+    res, traces = combined.execute_batch(_ma_rom(), N_BITS,
+                                         include=MA_INCLUDE)
+    assert len(res.actions.mem_align) == 2
+    air = combined.build_batch_air(_ma_rom(), N_BITS, include=MA_INCLUDE)
+    stacked = air.stack_traces(traces)
+    bad = _ma_prover().check_constraints(stacked)
+    assert bad == [], f"violated constraints: {bad}"
+
+
+def test_combined_mem_align_rejects_forged_write():
+    """Forge the SM's view of the written value (one byte off) while
+    keeping the SM internally consistent — only the Main<->MemAlign
+    permutation can notice."""
+    from zkevm_prover_tpu.executor.sm import mem_align as ma
+
+    res, traces = combined.execute_batch(_ma_rom(), N_BITS,
+                                         include=MA_INCLUDE)
+    acts = [dict(a) for a in res.actions.mem_align]
+    assert acts[0]["op"] == "wr"
+    acts[0]["value"] ^= 0xFF << 128  # flip a byte of the written value
+    forged, _ = ma.execute(acts, N_BITS)
+    sm_prover = StarkProver(StarkSetup(
+        ma.build_air(N_BITS), n_queries=8, fri_fold_bits=2))
+    assert sm_prover.check_constraints(forged) == [], \
+        "forged mem_align trace should be internally consistent"
+    air = combined.build_batch_air(_ma_rom(), N_BITS, include=MA_INCLUDE)
+    stacked = air.stack_traces({**traces, "mem_align": forged})
+    assert _ma_prover().check_constraints(stacked) != [], \
+        "combined AIR must reject the forged memAlign value"
+
+
+def _ar_rom():
+    if "arrom" not in _cache:
+        gx = 0x79BE667EF9DCBBAC55A06295CE870B07029BFCDB2DCE28D959F2815B16F81798  # noqa: E501
+        rb = RomBuilder()
+        # eq0: 3·5 + 7 = 0·2^256 + 22
+        rb.line(CONSTL=3, setA=1)
+        rb.line(CONSTL=5, setB=1)
+        rb.line(CONSTL=7, setC=1)
+        rb.line(CONSTL=0, setD=1)
+        rb.line("A*B+C :ARITH", CONSTL=22, arithEq0=1)
+        # eq2: dbl(G) = 2G on secp256k1 (x2/y2 legs bind to A/B)
+        from zkevm_prover_tpu.executor.sm import arith as ar
+
+        gy = 0x483ADA7726A3C4655DA4FBFC0E1108A8FD17B448A68554199C47D08FFB10D4B8  # noqa: E501
+        g2x, g2y = ar.ec_result("dbl", gx, gy)
+        rb.line(CONSTL=gx, setA=1)
+        rb.line(CONSTL=gy, setB=1)
+        rb.line(CONSTL=g2x, setE=1)
+        rb.line("dbl :ARITH_ECADD_SAME", CONSTL=g2y, arithEq2=1)
+        # eq7/8: BN254 Fp2 add, (11+22i) + (33+44i) = (44+66i)
+        rb.line(CONSTL=11, setA=1)
+        rb.line(CONSTL=22, setB=1)
+        rb.line(CONSTL=33, setC=1)
+        rb.line(CONSTL=44, setD=1)
+        rb.line(CONSTL=44, setE=1)
+        rb.line("addfp2 :ARITH_BN254_ADDFP2", CONSTL=66, arithEq4=1)
+        rb.clear_registers()
+        rb.finalize()
+        _cache["arrom"] = rb.build()
+    return _cache["arrom"]
+
+
+AR_INCLUDE = ("arith",)
+
+
+def _ar_prover():
+    if "arp" not in _cache:
+        _cache["arp"] = StarkProver(StarkSetup(
+            combined.build_batch_air(_ar_rom(), N_BITS, include=AR_INCLUDE),
+            n_queries=8, fri_fold_bits=2))
+    return _cache["arp"]
+
+
+def test_combined_arith_binding_satisfied():
+    res, traces = combined.execute_batch(_ar_rom(), N_BITS,
+                                         include=AR_INCLUDE)
+    assert [a["op"] for a in res.actions.arith] == ["mul", "dbl", "addfp2"]
+    air = combined.build_batch_air(_ar_rom(), N_BITS, include=AR_INCLUDE)
+    stacked = air.stack_traces(traces)
+    bad = _ar_prover().check_constraints(stacked)
+    assert bad == [], f"violated constraints: {bad}"
+
+
+def test_combined_arith_rejects_forged_operand():
+    """Forge the SM's view of the mul's addend (7 -> 8) while keeping the
+    SM internally consistent — only the Main<->Arith permutation can
+    notice."""
+    from zkevm_prover_tpu.executor.sm import arith as ar
+
+    res, traces = combined.execute_batch(_ar_rom(), N_BITS,
+                                         include=AR_INCLUDE)
+    acts = [dict(a) for a in res.actions.arith]
+    assert acts[0]["op"] == "mul"
+    acts[0]["x2"] = 8  # claims 3·5+8=23; main's C register says 7
+    forged = ar.execute(acts, N_BITS)
+    sm_prover = StarkProver(StarkSetup(
+        ar.build_air(N_BITS), n_queries=8, fri_fold_bits=2))
+    assert sm_prover.check_constraints(forged) == [], \
+        "forged arith trace should be internally consistent"
+    air = combined.build_batch_air(_ar_rom(), N_BITS, include=AR_INCLUDE)
+    stacked = air.stack_traces({**traces, "arith": forged})
+    assert _ar_prover().check_constraints(stacked) != [], \
+        "combined AIR must reject the forged arith operand"
+
+
 def _storage_rom():
     if "srom" not in _cache:
         from zkevm_prover_tpu.hashdb.database import Database

@@ -36,6 +36,7 @@ class BatchActions:
     storage: list = dataclasses.field(default_factory=list)
     keccak: list = dataclasses.field(default_factory=list)
     sha256: list = dataclasses.field(default_factory=list)
+    hashp: list = dataclasses.field(default_factory=list)  # byte-level
 
 
 from .sm import poseidon_g  # noqa: E402

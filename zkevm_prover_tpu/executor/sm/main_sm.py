@@ -82,6 +82,17 @@ BOUND_FLAG_COLS = [
     ("mOp", "mOp"), ("mWR", "mWR"), ("ASSERT", "assert_"),
     ("BIN", "bin"), ("BINOP", "binOpcode"),
     ("SRD", "sRD"), ("SWR", "sWR"),
+    ("MEMALIGNRD", "memAlignRD"), ("MEMALIGNWR", "memAlignWR"),
+    ("MEMALIGNWR8", "memAlignWR8"),
+    ("ARITHEQ0", "arithEq0"), ("ARITHEQ1", "arithEq1"),
+    ("ARITHEQ2", "arithEq2"), ("ARITHEQ3", "arithEq3"),
+    ("ARITHEQ4", "arithEq4"), ("ARITHEQ5", "arithEq5"),
+    ("HASHK", "hashK"), ("HASHK1", "hashK1"),
+    ("HASHKLEN", "hashKLen"), ("HASHKDIGEST", "hashKDigest"),
+    ("HASHP", "hashP"), ("HASHP1", "hashP1"),
+    ("HASHPLEN", "hashPLen"), ("HASHPDIGEST", "hashPDigest"),
+    ("HASHS", "hashS"), ("HASHS1", "hashS1"),
+    ("HASHSLEN", "hashSLen"), ("HASHSDIGEST", "hashSDigest"),
     ("inCntArith", "inCntArith"), ("inCntBinary", "inCntBinary"),
     ("inCntMemAlign", "inCntMemAlign"),
     ("jmpAddr", "jmpAddr"), ("elseAddr", "elseAddr"),
@@ -274,6 +285,25 @@ def build_air(rom: Rom, n_bits: int) -> AIR:
     # -- carry (bound host-side to the Binary SM for now) -----------------
     air.require_zero(c["CARRY"] * (1 - c["CARRY"]))
 
+    # -- hash-stream shape: INCHASHPOS is exactly the instruction's byte
+    # count (D0 bytes, or 1 for the single-byte forms) and zero elsewhere;
+    # hashXLen rows carry the length in op0 alone (reference main.pil's
+    # incHashPos wiring, main_executor.cpp:2660-2758)
+    air.require_zero(
+        c["INCHASHPOS"]
+        - (c["HASHK"] + c["HASHS"] + c["HASHP"]) * c["D0"]
+        - (c["HASHK1"] + c["HASHS1"] + c["HASHP1"]))
+    len_any = c["HASHKLEN"] + c["HASHSLEN"] + c["HASHPLEN"]
+    for l in range(1, 8):
+        air.require_zero(len_any * c[f"OP{l}"])
+
+    # -- memAlign offset shape: C is a single sub-64 limb on memAlign rows
+    # (the offset register; reference main_executor.cpp:4484-4520 reads C
+    # as a scalar and requires <= 32)
+    ma_any = c["MEMALIGNRD"] + c["MEMALIGNWR"] + c["MEMALIGNWR8"]
+    for l in range(1, 8):
+        air.require_zero(ma_any * c[f"C{l}"])
+
     # -- memory address ----------------------------------------------------
     air.require_zero(
         c["ADDR"] - (c["OFFSET"] + c["IND"] * c["E0"] + c["INDRR"] * c["RR"]
@@ -395,7 +425,8 @@ class MainExecutor:
         self.on_step = None  # optional debug hook: (step, zk_pc, ln, ctx)
 
     def execute(self, input: dict | None = None, smt=None,
-                process_batch: bool = False, full_tracer=None) -> MainResult:
+                process_batch: bool = False, full_tracer=None,
+                hash_oracles: dict | None = None) -> MainResult:
         """Interpret the ROM.  With `process_batch` (the reference's
         bProcessBatch fast path, main_executor.cpp:5398-5409) the loop
         breaks as soon as the `finalizeExecution` label executes and no
@@ -405,6 +436,9 @@ class MainExecutor:
 
         rom, n = self.rom, self.n
         inp = dict(input or {})
+        # digest oracles, overridable so reduced-round gate circuits stay
+        # consistent end to end in tests (production: real keccak/sha)
+        self._hash_oracles = hash_oracles or {}
         actions = BatchActions()
         names = columns(self.n_bits)
         col = {nm: i for i, nm in enumerate(names)}
@@ -680,6 +714,10 @@ class MainExecutor:
                             step, zk_pc, ln)
                     hs.data = bytearray(prog)
                     hash_p[addr] = hs
+                    # digest-first touch still needs the padding stream
+                    # for the Main<->PaddingPG binding
+                    actions.hashp.append({"data": bytes(hs.data),
+                                          "addr": addr, "reads": hs.reads})
                 if hs.digest is None:
                     raise ExecutorError("hashPDigest before len", step, zk_pc, ln)
                 if hs.digest_called:
@@ -735,6 +773,29 @@ class MainExecutor:
                 if (x3, y3) != (ex3, ey3):
                     raise ExecutorError(
                         f"arith {kind} result mismatch", step, zk_pc, ln)
+                # the SM action carries x2=x1, y2=y1 on doubling rows
+                # (reference main_executor.cpp:3993-3994)
+                actions.arith.append(
+                    {"op": kind, "x1": x1, "y1": y1,
+                     "x2": x1 if kind == "dbl" else x2,
+                     "y2": y1 if kind == "dbl" else y2})
+                counters["arith"] += 1
+            elif ln.arithEq3 or ln.arithEq4 or ln.arithEq5:
+                # BN254 Fp2 mul/add/sub: (A+iB) op (C+iD) = (E + i·op),
+                # reference main_executor.cpp:3586-3857
+                from . import arith as arith_sm
+
+                x1 = _fea8_to_scalar_strict(regs8["A"], step, zk_pc, ln)
+                y1 = _fea8_to_scalar_strict(regs8["B"], step, zk_pc, ln)
+                x2 = _fea8_to_scalar_strict(regs8["C"], step, zk_pc, ln)
+                y2 = _fea8_to_scalar_strict(regs8["D"], step, zk_pc, ln)
+                x3 = _fea8_to_scalar_strict(regs8["E"], step, zk_pc, ln)
+                y3 = _fea8_to_scalar_strict(op, step, zk_pc, ln)
+                kind = ("mulfp2" if ln.arithEq3
+                        else "addfp2" if ln.arithEq4 else "subfp2")
+                if (x3, y3) != arith_sm.fp2_result(kind, x1, y1, x2, y2):
+                    raise ExecutorError(
+                        f"arith {kind} result mismatch", step, zk_pc, ln)
                 actions.arith.append({"op": kind, "x1": x1, "y1": y1,
                                       "x2": x2, "y2": y2})
                 counters["arith"] += 1
@@ -782,9 +843,11 @@ class MainExecutor:
                     # m0||m1, so the value's LSB lands at LE byte 64-off-span
                     # and the rest follow upward — the value itself is NOT
                     # byte-swapped (reference formula main_executor.cpp:4548:
-                    # _W0 = (m0 & hi-mask) | (v >> 8*offset))
+                    # _W0 = (m0 & hi-mask) | (v >> 8*offset)). The action
+                    # carries the FULL op value (the SM's span routing uses
+                    # only the written bytes) so V == op in the AIR binding.
                     span = 32 if kind == "wr" else 1
-                    v_le = val & ((1 << (8 * span)) - 1)
+                    v_le = val
                     act = {"op": kind, "w0": m1, "w1": m0,
                            "offset": 64 - off - span, "value": v_le}
                     nw_lo, nw_hi = ma_sm.result(act)
@@ -1006,6 +1069,7 @@ class MainExecutor:
             # hashP: the reference linear poseidon over bytes — 0x01..0x80
             # padding, 7-byte little-endian elements, 56-byte blocks
             # (padding_pg_executor.cpp:38-41, :148-170)
+            fresh = hs.digest is None  # digest-first touch already emitted
             vals = poseidon.pack_bytes(bytes(hs.data))
             digest4 = poseidon.linear_hash(vals)
             hs.digest = _fe4_to_scalar(digest4)
@@ -1013,20 +1077,29 @@ class MainExecutor:
                 # persist the program preimage (reference hashPLen →
                 # pHashDB->setProgram) so later digest-first touches load it
                 smt.db.set_program(digest4, bytes(hs.data))
-            if actions is not None and len(vals) > 4:
+            if actions is not None and fresh and len(vals) > 4:
                 actions.padding_pg.append({"values": vals})
+            if actions is not None and fresh:
+                actions.hashp.append({"data": bytes(hs.data),
+                                      "addr": addr, "reads": hs.reads})
         elif kind == "K":
-            hs.digest = int.from_bytes(
-                keccak_mod.keccak256(bytes(hs.data)), "big")
+            oracle = getattr(self, "_hash_oracles", {}).get("K")
+            hs.digest = oracle(bytes(hs.data)) if oracle else \
+                int.from_bytes(keccak_mod.keccak256(bytes(hs.data)), "big")
             if actions is not None:
+                # `reads` is the LIVE dict: later verify-reads extend the
+                # chunk tiling the padding SM must expose to Main's lookup
                 actions.keccak.append(
-                    {"data": bytes(hs.data), "digest": hs.digest})
+                    {"data": bytes(hs.data), "digest": hs.digest,
+                     "addr": addr, "reads": hs.reads})
         else:
-            hs.digest = int.from_bytes(
-                sha256_mod.sha256(bytes(hs.data)), "big")
+            oracle = getattr(self, "_hash_oracles", {}).get("S")
+            hs.digest = oracle(bytes(hs.data)) if oracle else \
+                int.from_bytes(sha256_mod.sha256(bytes(hs.data)), "big")
             if actions is not None:
                 actions.sha256.append(
-                    {"data": bytes(hs.data), "digest": hs.digest})
+                    {"data": bytes(hs.data), "digest": hs.digest,
+                     "addr": addr, "reads": hs.reads})
 
     def _free_input(self, ctx, ln, addr, op, regs8, scal, mem,
                     hash_k, hash_p, hash_s, smt, poseidon, step, zk_pc):
@@ -1109,6 +1182,17 @@ class MainExecutor:
             kind = "add" if ln.arithEq1 else "dbl"
             return _scalar_to_fea8(
                 arith_sm.ec_result(kind, x1, y1, x2, y2)[1])
+        if ln.arithEq3 or ln.arithEq4 or ln.arithEq5:
+            from . import arith as arith_sm
+
+            x1 = _fea8_to_scalar_strict(regs8["A"], step, zk_pc, ln)
+            y1 = _fea8_to_scalar_strict(regs8["B"], step, zk_pc, ln)
+            x2 = _fea8_to_scalar_strict(regs8["C"], step, zk_pc, ln)
+            y2 = _fea8_to_scalar_strict(regs8["D"], step, zk_pc, ln)
+            kind = ("mulfp2" if ln.arithEq3
+                    else "addfp2" if ln.arithEq4 else "subfp2")
+            return _scalar_to_fea8(
+                arith_sm.fp2_result(kind, x1, y1, x2, y2)[1])
         raise ExecutorError("inFREE without tag or flag source",
                             step, zk_pc, ln)
 

@@ -55,6 +55,7 @@ def build_air(n_bits: int) -> AIR:
     CLK0 = air.constant("PCLK0", (pos == 0).astype(np.uint64))
     HOLD = air.constant("HOLD", (pos == ROUNDS).astype(np.uint64))  # row 30
     L31 = air.constant("L31", (pos == GROUP - 1).astype(np.uint64))
+    air.constant("PGID", np.arange(n, dtype=np.uint64) // GROUP)
     nlast = np.ones(n, dtype=np.uint64)
     nlast[n - 1] = 0
     NL = air.constant("PNL", nlast)
@@ -102,7 +103,23 @@ def execute(actions: list[dict], n_bits: int) -> tuple[np.ndarray, list]:
             plan.append((state, 1 if ci else 0))
             digest = pos.permute(state)[:CAP]
         digests.append(digest)
+    return _fill(plan, n_bits), digests
+
+
+def execute_chunks(chunks: list[dict], n_bits: int) -> np.ndarray:
+    """Combined-mode driver: lay the byte-front's per-block chunks at the
+    group index equal to their block id (chunks: [{values(8),
+    cont_digest(4), cont}] from padding_pg_byte.execute)."""
+    plan = [(list(c["values"]) + list(c["cont_digest"]), int(c["cont"]))
+            for c in chunks]
+    return _fill(plan, n_bits)
+
+
+def _fill(plan: list, n_bits: int) -> np.ndarray:
+    n = 1 << n_bits
+    n_groups = n // GROUP
     assert len(plan) <= n_groups, "too many chunks for domain"
+    plan = list(plan)
     while len(plan) < n_groups:
         plan.append(([0] * W, 0))
 
@@ -124,7 +141,7 @@ def execute(actions: list[dict], n_bits: int) -> tuple[np.ndarray, list]:
         tr[base + ROUNDS, 3 * W] = cont_flag
         tr[base + ROUNDS + 1, :W] = st      # row 31: held copy
         tr[base + ROUNDS + 1, 3 * W] = cont_flag
-    return tr, digests
+    return tr
 
 
 def result(action: dict) -> list[int]:
