@@ -183,13 +183,16 @@ def groth16_prove(setup: Groth16Setup, witness: list[int],
 
     h = _quotient_coeffs(r1cs, witness, setup.domain_bits)
 
-    # 5 MSMs (reference: ThreadA..ThreadH in groth16.c.hpp)
-    pi_a = bn.g1_msm(setup.a_query, witness)
-    pi_b1 = bn.g1_msm(setup.b1_query, witness)
-    pi_b2 = bn.g2_msm(setup.b2_query, witness)
+    # 5 MSMs (reference: ThreadA..ThreadH in groth16.c.hpp); dispatched to
+    # the device Pippenger above the size cutover (ops/msm.py)
+    from ..ops import msm as msm_mod
+
+    pi_a = msm_mod.g1_msm(setup.a_query, witness)
+    pi_b1 = msm_mod.g1_msm(setup.b1_query, witness)
+    pi_b2 = msm_mod.g2_msm(setup.b2_query, witness)
     aux = witness[r1cs.n_public + 1 :]
-    pi_c0 = bn.g1_msm(setup.l_query, aux)
-    pi_h = bn.g1_msm(setup.h_query, h)
+    pi_c0 = msm_mod.g1_msm(setup.l_query, aux)
+    pi_h = msm_mod.g1_msm(setup.h_query, h)
 
     pi_a = bn.g1_add(bn.g1_add(pi_a, setup.alpha1), bn.g1_mul(setup.delta1, r))
     pi_b = bn.g2_add(bn.g2_add(pi_b2, setup.beta2), bn.g2_mul(setup.delta2, s))

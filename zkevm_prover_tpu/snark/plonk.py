@@ -121,7 +121,9 @@ def _commit(srs_g1, coeffs: list[int]):
     nz = [(p, c) for p, c in zip(srs_g1, coeffs) if c]
     if not nz:
         return None  # point at infinity
-    return bn254.g1_msm([p for p, _ in nz], [c for _, c in nz])
+    from ..ops import msm as msm_mod
+
+    return msm_mod.g1_msm([p for p, _ in nz], [c for _, c in nz])
 
 
 @dataclasses.dataclass
