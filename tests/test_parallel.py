@@ -122,7 +122,7 @@ def test_meshed_prover_bit_identical():
                                     fri_fold_bits=2), mesh=mesh1d)
     p_mesh = meshed.prove(trace)
 
-    assert p_mesh.roots == p_plain.roots
-    assert p_mesh.evals == p_plain.evals
+    assert all(np.array_equal(a, b) for a, b in zip(p_mesh.roots, p_plain.roots))
+    assert list(p_mesh.evals) == list(p_plain.evals)
     assert (p_mesh.final_pol == p_plain.final_pol).all()
     assert verify(meshed.setup, meshed.verkey, p_mesh)

@@ -100,3 +100,69 @@ def test_aggregate_tree_four_batches(prover):
     assert prover.verify_aggregated_proof(agg)
     final = prover.gen_final_proof(agg)
     assert prover.verify_final_proof(final)
+
+
+def test_recursive_f_reproof_and_join_circuit():
+    """The recursion pipeline up to (but not including) the Groth16 wrap:
+    each batch's STARKs re-proven under the BN128 scheme (recursiveF
+    role) and BOTH batches verified inside ONE fixed join circuit — the
+    recursive2 shape (reference prover.cpp:676-800)."""
+    from zkevm_prover_tpu.snark import stark_verifier_circuit as svc
+    from zkevm_prover_tpu.stark.verifier import verify as stark_verify
+
+    small = Prover(n_bits={"memory": 6}, n_queries=3)
+    bp1 = small.gen_batch_proof(_input())
+    inp2 = _input(old_root=bp1.publics.new_state_root,
+                  old_acc=bp1.publics.new_acc_input_hash, num=1)
+    bp2 = small.gen_batch_proof(inp2)
+    agg = small.gen_aggregated_proof(bp1, bp2)
+
+    rec1 = small.compress_proof(bp1)
+    rec2 = small.compress_proof(bp2)
+    assert set(rec1) == {"memory"} and set(rec2) == {"memory"}
+    for rec in (rec1, rec2):
+        prover, proof = rec["memory"]
+        assert proof.hash_type == "BN128"
+        assert stark_verify(prover.setup, prover.verkey, proof)
+
+    items = [(rec1["memory"][0].setup, int(rec1["memory"][0].verkey),
+              rec1["memory"][1]),
+             (rec2["memory"][0].setup, int(rec2["memory"][0].verkey),
+              rec2["memory"][1])]
+    r1cs, w, pubs = svc.build_join(items)
+    assert r1cs.is_satisfied(w)
+    assert pubs[0] == pubs[1] == int(rec1["memory"][0].verkey)
+    # a forged child proof admits no witness in the SAME circuit
+    import copy
+
+    bad = copy.deepcopy(items[1][2])
+    bad.evals[0] = (int(bad.evals[0][0]) ^ 1, int(bad.evals[0][1]),
+                    int(bad.evals[0][2]))
+    try:
+        r2, w2, _ = svc.build_join([items[0], (items[1][0], items[1][1],
+                                               bad)])
+    except AssertionError:
+        return
+    assert not r2.is_satisfied(w2)
+    _rec_cache["small"] = (small, agg)
+
+
+_rec_cache: dict = {}
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("ZK_SLOW"),
+    reason="Groth16 over the two-proof join circuit: minutes; ZK_SLOW=1")
+def test_final_proof_attests_starks():
+    """Aggregate two batch proofs into ONE constant-size final proof
+    whose circuit VERIFIES both leaf STARKs."""
+    if "small" not in _rec_cache:
+        test_recursive_f_reproof_and_join_circuit()
+    small, agg = _rec_cache["small"]
+    fp = small.gen_final_proof(agg, snark="stark-verify")
+    assert fp.groth16["system"] == "groth16-stark"
+    assert small.verify_final_proof(fp)
+    # tampering with the attested verkey publics must fail
+    bad = dataclasses.replace(
+        fp, stark_publics=[fp.stark_publics[0] + 1] + fp.stark_publics[1:])
+    assert not small.verify_final_proof(bad)

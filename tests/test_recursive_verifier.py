@@ -79,3 +79,59 @@ def test_verifier_circuit_groth16_roundtrip():
     bad = list(pubs)
     bad[1] = (bad[1] + 1) % svc.R
     assert not groth16_verify(g16, bad, proof)
+
+
+def _proof2():
+    """A second proof of the SAME AIR shape (different trace/publics)."""
+    if "p2" not in _cache:
+        import numpy as np
+
+        from tests.test_stark_e2e import N, fib_air
+        from zkevm_prover_tpu.ops import goldilocks as gl
+
+        tr = np.zeros((N, 2), dtype=np.uint64)
+        x, y = 7, 11
+        for i in range(N):
+            tr[i] = (x, y)
+            x, y = y, (x + y) % gl.P
+        setup = StarkSetup(fib_air(), n_queries=3, fri_fold_bits=2,
+                           hash_type="BN128")
+        prover = StarkProver(setup)
+        _cache["p2"] = (setup, prover.verkey, prover.prove(tr))
+    return _cache["p2"]
+
+
+def test_fixed_circuit_reuses_across_proofs():
+    """THE fixed-circuit property: the SAME r1cs (no per-instance
+    specialization) accepts the witness synthesized for a different
+    proof of the same shape."""
+    setup, verkey, proof = _proof()
+    r1, w1, _ = svc.build(setup, verkey, proof)
+    setup2, verkey2, proof2 = _proof2()
+    r2, w2, pubs2 = svc.build(setup2, verkey2, proof2)
+    assert len(r1.constraints) == len(r2.constraints)
+    assert r1.n_signals == r2.n_signals
+    assert r1.is_satisfied(w2), \
+        "the fixed circuit must accept any same-shape proof's witness"
+
+
+def test_join_two_proofs_with_chaining():
+    """The recursive2 role: one circuit verifying two proofs, with a
+    publics-chaining equality between them."""
+    setup, verkey, proof = _proof()
+    setup2, verkey2, proof2 = _proof2()
+    # same proof twice: the chain constraint (equal publics) holds
+    r1cs, w, pubs = svc.build_join(
+        [(setup, verkey, proof), (setup, verkey, proof)],
+        chain=[(0, 0, 1, 0)])
+    assert r1cs.is_satisfied(w)
+    assert pubs[0] == pubs[1] == int(verkey)
+    # different publics (a0 = 1 vs 7): the chain equality must fail
+    r1cs, w, _ = svc.build_join(
+        [(setup, verkey, proof), (setup2, verkey2, proof2)],
+        chain=[(0, 0, 1, 0)])
+    assert not r1cs.is_satisfied(w)
+    # without the chain, verifying two DIFFERENT proofs together is fine
+    r1cs, w, _ = svc.build_join(
+        [(setup, verkey, proof), (setup2, verkey2, proof2)])
+    assert r1cs.is_satisfied(w)

@@ -40,9 +40,15 @@ Current proven bindings:
                        chaining run row-local, bits pack instance-major
                        into the gate SM's bit-sliced elements (the full
                        Bits2Field role, ref bits2field_executor.cpp:7-44)
+  main <-> padding_sha256 <-> sha256_bit/b2f/f   the same machinery for
+                       hashS (Merkle-Damgard state injection + IV seed)
+  main <-> padding_pg_byte <-> padding_pg        hashP byte stream packed
+                       into 7-byte elements, bound positionally into the
+                       PoseidonG permutation groups, fe4 digest read back
 
 Still host-bound (emitted actions checked by construction):
-  sha256 / poseidon padding digests — same machinery, landing next.
+  hash instruction counters (cntKeccakF/cntSha256F/cntPaddingPG in the
+  Main AIR) — the per-message block counts; next increment.
 """
 
 from __future__ import annotations

@@ -78,15 +78,17 @@ class Executor:
             s += 1
         return s
 
-    def _prover(self, name: str) -> StarkProver:
-        if name not in self._provers:
+    def _prover(self, name: str, hash_type: str = "GL") -> StarkProver:
+        key = name if hash_type == "GL" else f"{name}:{hash_type}"
+        if key not in self._provers:
             if name == "binary":
                 air = binary.build_air(self.n_bits[name], self.binary_slice_bits())
             else:
                 air = _SM_MODULES[name].build_air(self.n_bits[name])
-            setup = StarkSetup(air, n_queries=self.n_queries, fri_fold_bits=2)
-            self._provers[name] = StarkProver(setup)
-        return self._provers[name]
+            setup = StarkSetup(air, n_queries=self.n_queries, fri_fold_bits=2,
+                               hash_type=hash_type)
+            self._provers[key] = StarkProver(setup)
+        return self._provers[key]
 
     def execute(self, actions: BatchActions,
                 db=None) -> dict[str, np.ndarray]:
@@ -168,6 +170,18 @@ class Executor:
         proofs = {}
         for name, tr in traces.items():
             prover = self._prover(name)
+            proofs[name] = (prover, prover.prove(tr))
+        return proofs
+
+    def prove_recursive(self, actions: BatchActions,
+                        db=None) -> dict[str, object]:
+        """The StarkRecursiveF role: re-prove every active SM under the
+        BN128 commitment scheme so the proofs are verifiable inside the
+        final SNARK circuit (reference starkRecursiveF, prover.cpp:868)."""
+        traces = self.execute(actions, db=db)
+        proofs = {}
+        for name, tr in traces.items():
+            prover = self._prover(name, hash_type="BN128")
             proofs[name] = (prover, prover.prove(tr))
         return proofs
 

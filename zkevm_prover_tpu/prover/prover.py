@@ -37,6 +37,8 @@ class BatchProof:
     publics: PublicInputs
     sm_proofs: dict            # name -> (prover, StarkProof)
     counters: dict
+    actions: object = None     # retained for the recursiveF re-proof
+    recursive: dict = None     # name -> (prover, BN128 proof), lazy
 
 
 @dataclasses.dataclass
@@ -50,6 +52,8 @@ class FinalProof:
     publics: PublicInputs
     groth16: dict              # pi_a/pi_b/pi_c
     publics_digest: int
+    stark_publics: list = None  # [verkeys..., stark publics...] when the
+    #                             final circuit verifies the STARKs
 
 
 @dataclasses.dataclass
@@ -63,8 +67,9 @@ class ProverRequest:
 
 
 class Prover:
-    def __init__(self, n_bits: int | dict | None = None):
-        self.executor = Executor(n_bits=n_bits)
+    def __init__(self, n_bits: int | dict | None = None,
+                 n_queries: int = 8):
+        self.executor = Executor(n_bits=n_bits, n_queries=n_queries)
         self.metrics = TimeMetricStorage("prover")
         self._pending: list[ProverRequest] = []
         self._completed: dict[str, ProverRequest] = {}
@@ -183,7 +188,18 @@ class Prover:
         pub.new_batch_num = pub.old_batch_num + 1
         if pub.new_state_root == "0x" + "00" * 32:
             pub.new_state_root = pub.old_state_root
-        return BatchProof(publics=pub, sm_proofs=sm_proofs, counters=counters)
+        return BatchProof(publics=pub, sm_proofs=sm_proofs,
+                          counters=counters, actions=inp.actions)
+
+    def compress_proof(self, bp: BatchProof) -> dict:
+        """The recursiveF role: the batch's SM traces re-proven under the
+        BN128 scheme so the final circuit can verify them (cached on the
+        BatchProof)."""
+        if bp.recursive is None:
+            assert bp.actions is not None, "batch proof lacks actions"
+            with timer("STARK_RECURSIVE_F_PROOF", self.metrics, log=False):
+                bp.recursive = self.executor.prove_recursive(bp.actions)
+        return bp.recursive
 
     def aggregate_tree(self, proofs: list) -> "AggregatedProof | BatchProof":
         """Binary-tree reduction over an ordered batch-proof list — the
@@ -261,7 +277,52 @@ class Prover:
             self._final_plonk = plonk.plonk_setup(b.build())
         return self._final_plonk
 
+    def _leaf_batches(self, node) -> list:
+        if isinstance(node, BatchProof):
+            return [node]
+        out = []
+        for c in node.children:
+            out += self._leaf_batches(c)
+        return out
+
+    def gen_final_proof_stark(self, agg) -> FinalProof:
+        """The production-shape final wrap: ONE Groth16 proof whose
+        circuit VERIFIES every leaf batch's STARKs (re-proven under the
+        BN128 scheme — the recursiveF role) — reference final.circom over
+        the recursivef verifier (prover.cpp:827-940). The publics
+        chaining between leaves stays checked at aggregation time
+        (gen_aggregated_proof); the digest binds the joined publics."""
+        from ..snark import stark_verifier_circuit as svc
+
+        leaves = self._leaf_batches(agg)
+        items, names = [], []
+        for bp in leaves:
+            rec = self.compress_proof(bp)
+            for name in sorted(rec):
+                prover, proof = rec[name]
+                items.append((prover.setup, int(prover.verkey), proof))
+                names.append(name)
+        with timer("STARK_FINAL_CIRCUIT", self.metrics, log=False):
+            r1cs, w, pubs = svc.build_join(items)
+        key = tuple(
+            (nm, st.n_bits, st.n_queries, tuple(st.fri_steps))
+            for nm, (st, _, _) in zip(names, items))
+        if not hasattr(self, "_join_g16"):
+            self._join_g16 = {}
+        if key not in self._join_g16:
+            # the FIXED circuit: one Groth16 setup per shape tuple
+            self._join_g16[key] = groth16_setup(r1cs)
+        g16 = self._join_g16[key]
+        digest = self.publics_digest(agg.publics)
+        with timer("RAPID_SNARK", self.metrics, log=False):
+            proof = groth16_prove(g16, w)
+        proof = {"system": "groth16-stark", "sm_names": names, **proof}
+        return FinalProof(publics=agg.publics, groth16=proof,
+                          publics_digest=digest, stark_publics=pubs)
+
     def gen_final_proof(self, agg, snark: str = "groth16") -> FinalProof:
+        if snark == "stark-verify":
+            return self.gen_final_proof_stark(agg)
         digest = self.publics_digest(agg.publics)
         s = digest
         inv = pow(s, bn254.R - 2, bn254.R) if s else 0
@@ -297,6 +358,23 @@ class Prover:
     def verify_final_proof(self, fp: FinalProof) -> bool:
         if fp.publics_digest != self.publics_digest(fp.publics):
             return False
+        if isinstance(fp.groth16, dict) and \
+                fp.groth16.get("system") == "groth16-stark":
+            names = fp.groth16["sm_names"]
+            # the circuit publics must open with OUR verkeys — a proof
+            # against junk trees would verify otherwise
+            expected = [int(self.executor._prover(n, "BN128").verkey)
+                        for n in names]
+            if fp.stark_publics[:len(expected)] != expected:
+                return False
+            key = None
+            for k in getattr(self, "_join_g16", {}):
+                if tuple(nm for nm, *_ in k) == tuple(names):
+                    key = k
+            if key is None:
+                return False
+            return groth16_verify(self._join_g16[key], fp.stark_publics,
+                                  fp.groth16)
         if isinstance(fp.groth16, dict) and \
                 fp.groth16.get("system") == "plonk":
             from ..snark import plonk

@@ -314,6 +314,58 @@ def gl3_inv(s: Synthesizer, a: list[int]) -> list[int]:
     return inv
 
 
+def mux_tree(s: Synthesizer, bits: list[int], values: list) -> dict:
+    """2^k-way multiplexer as a binary select tree keyed on LSB-first bit
+    signals — the fixed-circuit replacement for instance-specialized
+    indices (reference: circom's Multiplexor over query bits).
+
+    values: signal ids or lc dicts; len must be 2^len(bits). Returns the
+    selected value as an lc dict (2^k - 1 mul constraints, no lins)."""
+    cur = [v if isinstance(v, dict) else {v: 1} for v in values]
+    assert len(cur) == 1 << len(bits)
+    for b in bits:
+        nxt = []
+        for j in range(0, len(cur), 2):
+            lo, hi = cur[j], cur[j + 1]
+            diff = dict(hi)
+            for k, c in lo.items():
+                diff[k] = (diff.get(k, 0) - c) % R
+            t = s.mul_lc({b: 1}, diff)  # b·(hi - lo)
+            out = dict(lo)
+            out[t] = (out.get(t, 0) + 1) % R
+            nxt.append(out)
+        cur = nxt
+    return cur[0]
+
+
+def mux_sig(s: Synthesizer, bits: list[int], values: list) -> int:
+    return s.lin(mux_tree(s, bits, values))
+
+
+def gl3_mux(s: Synthesizer, bits: list[int], triples: list) -> list[int]:
+    return [mux_sig(s, bits, [t[l] for t in triples]) for l in range(3)]
+
+
+def gl3_mul_base_sig(s: Synthesizer, a: list[int], b: int) -> list[int]:
+    """GL3 × base-field SIGNAL (gl3_muls takes a constant)."""
+    return [gl_mul(s, a[l], b) for l in range(3)]
+
+
+def gl_pow_bits(s: Synthesizer, base: int, bits: list[int]) -> int:
+    """base^y for a constant GL base and LSB-first bit signals: the
+    product of per-bit factors (1 + b_j·(base^{2^j} - 1)), each a free
+    linear combination feeding one gl-reduced multiply."""
+    acc = None
+    cur = base % GL_P
+    for b in bits:
+        factor = s.lin({0: 1, b: (cur - 1) % R})
+        acc = factor if acc is None else gl_mul(s, acc, factor)
+        cur = cur * cur % GL_P
+    if acc is None:
+        acc = s.lin({0: 1})
+    return acc
+
+
 def gl_canon(s: Synthesizer, a: int) -> int:
     """Reduce a (< 2^64) to the canonical residue < p_GL."""
     return gl_lincomb(s, [(1, a)])

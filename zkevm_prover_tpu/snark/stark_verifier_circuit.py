@@ -1,24 +1,23 @@
-"""The STARK verifier as an R1CS circuit — recursive proof compression.
+"""The STARK verifier as a FIXED R1CS circuit — recursive compression.
 
 Reference: the stark_verifier.circom templates the reference compiles per
-starkinfo and wraps with Groth16/Fflonk (recursiveF -> final). This module
-synthesizes the same statement over our R1CS for a BN128-scheme STARK
-(stark/scheme.py): the Poseidon-BN128 transcript and arity-16 Merkle trees
-are native Fr arithmetic, and the FRI/eval algebra runs through the
-Goldilocks-in-Fr gadgets (snark/gadgets.py).
+starkinfo and wraps with Groth16/Fflonk (recursiveF -> final), and
+recursive2.circom (one circuit verifying TWO child proofs — the
+aggregation join, prover.cpp:676-800). This module synthesizes the same
+statements over our R1CS for BN128-scheme STARKs (stark/scheme.py): the
+Poseidon-BN128 transcript and arity-16 Merkle trees are native Fr
+arithmetic, and the FRI/eval algebra runs through the Goldilocks-in-Fr
+gadgets (snark/gadgets.py).
 
-The circuit is *instance-specialized*: it is built with the proof in hand,
-so Fiat-Shamir-derived query indices pick static Merkle slot orders and
-fold positions — BUT every derivation is also replayed and asserted
-in-circuit (indices are recomposed from transcript bits and pinned to the
-specialization), so no witness exists for a proof that disagrees with its
-specialization. This is sound per-instance and sidesteps in-circuit
-multiplexers; the reference's fixed-circuit route (multiplexed selects)
-is the scaling refinement.
+The circuit is FIXED per STARK shape: every Fiat-Shamir-derived index
+drives bit-keyed multiplexers (gadgets.mux_tree — the circom Multiplexor
+role), so ONE circuit (and one Groth16 setup) verifies every proof of
+that shape; the verkey is a public input. This replaces round 1's
+instance-specialized synthesis.
 
-Public inputs of the circuit: the verkey root (1 Fr) followed by the
-STARK publics. `build(setup, verkey, proof)` returns (r1cs, witness,
-publics) ready for snark.groth16 / snark.plonk.
+`build(setup, verkey, proof)` -> single-proof verifier.
+`build_join(setup, verkey, proofs, chain)` -> the recursive2 role: K
+child proofs verified in one circuit with publics-chaining constraints.
 
 Mirrors stark/verifier.py check for check; kept deliberately parallel so
 the host verifier remains the oracle for this circuit.
@@ -45,8 +44,7 @@ class _Transcript:
 
     def __init__(self, s: Synthesizer):
         self.s = s
-        self.zero = s.alloc(0)
-        s.b.constrain({self.zero: 1}, {0: 1}, {0: 0})
+        self.zero = _zero(s)
         self.state = self.zero
         self.pending: list[int] = []
         self.out: list[int] = []
@@ -134,13 +132,15 @@ def _eval_dag(s: Synthesizer, e: ex.Expr, bind) -> list[int]:
     return rec(e)
 
 
-def _merkle_path(s: Synthesizer, row_sigs: list[int], sib_sigs: list[list[int]],
-                 idx: int, root_sig: int) -> None:
+def _merkle_path(s: Synthesizer, row_sigs: list[int],
+                 sib_sigs: list[list[int]], idx_bits: list[int],
+                 root_sig: int) -> None:
     """verify_group_proof in-circuit (ops/merkle_bn128._leaf_hash): narrow
     rows (<= 4 GL) pack raw into one Fr with no hash; wider rows pack
     3-per-Fr and run the reference linearHash sponge, whose final short
     chunk hashes at the narrower width (merkleTreeBN128.cpp:113-151).
-    Then the arity-16 climb with static slot positions from idx."""
+    The arity-16 climb slots the node among the 15 siblings by BIT-KEYED
+    MULTIPLEXING on the next 4 index bits — no instance specialization."""
     if len(row_sigs) <= 4:
         if not row_sigs:
             node = _zero(s)
@@ -161,35 +161,28 @@ def _merkle_path(s: Synthesizer, row_sigs: list[int], sib_sigs: list[list[int]],
             else:
                 digest = gd.poseidon_hash_partial(s, chunk, capacity=digest)
         node = digest
-    i = idx
+    bit_pos = 0
+    zero = _zero(s)
     for sibs in sib_sigs:
-        pos = i % ARITY
-        children = list(sibs[:pos]) + [node] + list(sibs[pos:])
+        pos_bits = idx_bits[bit_pos:bit_pos + 4]
+        while len(pos_bits) < 4:
+            pos_bits.append(zero)
+        bit_pos += 4
+        children = []
+        for k in range(ARITY):
+            # child k = sib[k] when pos > k, node when pos == k,
+            # sib[k-1] when pos < k
+            cand = [sibs[k] if p > k else node if p == k else sibs[k - 1]
+                    for p in range(ARITY)]
+            children.append(gd.mux_sig(s, pos_bits, cand))
         node = gd.poseidon_hash16(s, children)
-        i //= ARITY
     s.assert_eq(node, root_sig)
 
 
-def build(setup, verkey, proof):
-    """Synthesize the verifier circuit for one BN128-scheme proof.
-
-    Returns (r1cs, witness, circuit_publics) with circuit_publics =
-    [verkey, *stark_publics]."""
-    s0 = setup
-    assert getattr(s0, "hash_type", "GL") == "BN128", \
-        "the recursive circuit verifies BN128-scheme proofs (recursiveF)"
-    assert proof.hash_type == "BN128"
-    n = s0.n
+def _verify_proof(s: Synthesizer, s0, VK: int, PUBS: list[int], proof):
+    """Synthesize one proof's verification into `s` (shared by build /
+    build_join). Returns nothing; all checks are constraints."""
     steps = list(s0.fri_steps)
-    n_pub = 1 + len(proof.publics)
-
-    s = Synthesizer(n_public=n_pub)
-    verkey_i = int(verkey)
-    s.set_public(0, verkey_i)
-    for i, p in enumerate(proof.publics):
-        s.set_public(1 + i, int(p))
-    VK = 1  # signal index of the verkey public
-    PUBS = [2 + i for i in range(len(proof.publics))]
 
     def alloc_gl(v: int) -> int:
         sig = s.alloc(int(v))
@@ -221,7 +214,8 @@ def build(setup, verkey, proof):
         t.put(e)
     challenges[5] = t.get_field3()
     challenges[6] = t.get_field3()
-    fri_roots = [s.alloc(int(proof.fri[si].root)) for si in range(1, len(steps))]
+    fri_roots = [s.alloc(int(proof.fri[si].root))
+                 for si in range(1, len(steps))]
     special_xs = []
     for si in range(len(steps)):
         special_xs.append(t.get_field3())
@@ -231,14 +225,9 @@ def build(setup, verkey, proof):
             for row in final_pol:
                 t.put(row)
 
-    # query indices: recompose from transcript bits, pin to specialization
-    ys_host = _host_queries(s0, verkey_i, proof)
+    # query indices: bit signals straight from the transcript — they key
+    # every multiplexer below (the FIXED-circuit route)
     qbits = t.get_permutation_bits(s0.n_queries, steps[0])
-    for qi in range(s0.n_queries):
-        lc = {qbits[qi][j]: 1 << j for j in range(steps[0])}
-        got = s.lin(lc)
-        s.b.constrain({got: 1, 0: R - ys_host[qi]}, {0: 1}, {0: 0})
-    ys = ys_host
 
     # ---- 2. quotient identity at xi ------------------------------------
     xi = challenges[7]
@@ -281,9 +270,14 @@ def build(setup, verkey, proof):
     shift = gl.shift()
     col_of = dict(enumerate(s0.cols))
 
-    for qi, y0 in enumerate(ys):
+    for qi in range(s0.n_queries):
+        bits0 = qbits[qi]
         qrow = proof.fri[0].queries[qi]
-        # allocate + range-check the five tree rows, verify each path
+        # x = shift · w^y as a bit-keyed power product
+        x_sig = gd.gl_pow_bits(s, w_ext, bits0)
+        x_sig = gd.gl_mul(s, x_sig, _const_sig(s, shift))
+        x3 = [x_sig, _zero(s), _zero(s)]
+
         tree_sigs = []
         for ti in range(5):
             mq = qrow[ti]
@@ -291,12 +285,10 @@ def build(setup, verkey, proof):
             sib_sigs = [[s.alloc(int(x)) for x in np.asarray(level)]
                         for level in mq.siblings]
             root_sig = roots[ti] if ti < 4 else VK
-            _merkle_path(s, row_sigs, sib_sigs, y0, root_sig)
+            _merkle_path(s, row_sigs, sib_sigs, bits0, root_sig)
             tree_sigs.append(row_sigs)
 
-        x_c = shift * pow(w_ext, y0, rm.P) % rm.P
-
-        def bind_fri(node, _tree_sigs=tree_sigs, _x=x_c):
+        def bind_fri(node, _tree_sigs=tree_sigs, _x3=x3, _xs=x_sig):
             if isinstance(node, ex.Cm):
                 assert not node.prime
                 info = col_of[node.id]
@@ -312,38 +304,39 @@ def build(setup, verkey, proof):
             if isinstance(node, ex.Public):
                 return [PUBS[node.idx], _zero(s), _zero(s)]
             if isinstance(node, ex.X):
-                return _const3(s, _x)
+                return _x3
             if isinstance(node, ex.Eval):
                 return evals[node.idx]
             if isinstance(node, ex.XDivXSubXi):
-                d = gd.gl3_sub(s, _const3(s, _x), xi)
-                return gd.gl3_muls(s, gd.gl3_inv(s, d), _x)
+                d = gd.gl3_sub(s, _x3, xi)
+                return gd.gl3_mul_base_sig(s, gd.gl3_inv(s, d), _xs)
             if isinstance(node, ex.XDivXSubWXi):
                 wxi = gd.gl3_muls(s, xi, gl.w(s0.n_bits))
-                d = gd.gl3_sub(s, _const3(s, _x), wxi)
-                return gd.gl3_muls(s, gd.gl3_inv(s, d), _x)
+                d = gd.gl3_sub(s, _x3, wxi)
+                return gd.gl3_mul_base_sig(s, gd.gl3_inv(s, d), _xs)
             raise TypeError(f"unbound node {type(node)} in fri_exp")
 
         value = _eval_dag(s, s0.fri_exp, bind_fri)
 
-        # FRI fold chain
-        y_prev = y0
+        # FRI fold chain: group positions and fold points are bit-keyed
         for si in range(1, len(steps)):
-            y = y0 % (1 << steps[si])
             mq = proof.fri[si].queries[qi]
             group = np.asarray(mq.values).reshape(-1, 3)
             group_sigs = [[alloc_gl(v) for v in row] for row in group]
             sib_sigs = [[s.alloc(int(x)) for x in np.asarray(level)]
                         for level in mq.siblings]
+            y_bits = bits0[:steps[si]]
             _merkle_path(s, [x for row in group_sigs for x in row],
-                         sib_sigs, y, fri_roots[si - 1])
-            pos_in_group = y_prev >> steps[si]
-            gd.gl3_assert_eq(s, group_sigs[pos_in_group], value)
+                         sib_sigs, y_bits, fri_roots[si - 1])
+            pos_bits = bits0[steps[si]:steps[si - 1] if si > 1
+                             else steps[0]]
+            sel = gd.gl3_mux(s, pos_bits, group_sigs)
+            gd.gl3_assert_eq(s, sel, value)
             value = _fold_gadget(s, group_sigs, steps[si - 1], steps[si],
-                                 y, special_xs[si], s0.n_bits_ext)
-            y_prev = y
-        y_last = y0 % (1 << steps[-1])
-        gd.gl3_assert_eq(s, final_pol[y_last], value)
+                                 y_bits, special_xs[si], s0.n_bits_ext)
+        last_bits = bits0[:steps[-1]]
+        sel = gd.gl3_mux(s, last_bits, final_pol)
+        gd.gl3_assert_eq(s, sel, value)
 
     # ---- 5. final polynomial low-degree --------------------------------
     last_bits = steps[-1]
@@ -358,8 +351,68 @@ def build(setup, verkey, proof):
                       final_pol[j][limb]) for j in range(m)]
             gd.gl_assert_zero(s, gd.gl_lincomb(s, terms))
 
+
+def build(setup, verkey, proof):
+    """Synthesize the FIXED verifier circuit, witnessed with one proof.
+
+    Returns (r1cs, witness, circuit_publics) with circuit_publics =
+    [verkey, *stark_publics]. The r1cs depends only on the STARK shape —
+    re-witnessing with another proof of the same shape reuses it."""
+    s0 = setup
+    assert getattr(s0, "hash_type", "GL") == "BN128", \
+        "the recursive circuit verifies BN128-scheme proofs (recursiveF)"
+    assert proof.hash_type == "BN128"
+    n_pub = 1 + len(proof.publics)
+
+    s = Synthesizer(n_public=n_pub)
+    verkey_i = int(verkey)
+    s.set_public(0, verkey_i)
+    for i, p in enumerate(proof.publics):
+        s.set_public(1 + i, int(p))
+    VK = 1
+    PUBS = [2 + i for i in range(len(proof.publics))]
+    _verify_proof(s, s0, VK, PUBS, proof)
     r1cs, w = s.finish()
     return r1cs, w, [verkey_i] + [int(p) for p in proof.publics]
+
+
+def build_join(items, chain: list | None = None):
+    """The recursive2 role: ONE circuit verifying several child proofs,
+    with optional publics-chaining equalities.
+
+    items: [(setup, verkey, proof)] — setups may differ (multi-SM
+    batches join all their machines in one circuit).
+    chain: [(child_a, pub_idx_a, child_b, pub_idx_b)] — constrain
+    items[a].publics[ia] == items[b].publics[ib] (the reference's
+    newStateRoot/oldStateRoot etc chaining, prover.cpp:700-740).
+
+    Circuit publics: [verkey_0, ..., verkey_{K-1}, *publics_0, ...].
+    """
+    for s0, _, proof in items:
+        assert getattr(s0, "hash_type", "GL") == "BN128"
+        assert proof.hash_type == "BN128"
+    pubs_per = [list(p.publics) for (_, _, p) in items]
+    n_pub = len(items) + sum(len(p) for p in pubs_per)
+    s = Synthesizer(n_public=n_pub)
+    VKS = []
+    for k, (_, verkey, _) in enumerate(items):
+        s.set_public(k, int(verkey))
+        VKS.append(1 + k)
+    PUBS_ALL = []
+    off = len(items)
+    for pp in pubs_per:
+        for i, v in enumerate(pp):
+            s.set_public(off + i, int(v))
+        PUBS_ALL.append([1 + off + i for i in range(len(pp))])
+        off += len(pp)
+    for (s0, _, proof), VK, PUBS in zip(items, VKS, PUBS_ALL):
+        _verify_proof(s, s0, VK, PUBS, proof)
+    for (a, ia, b, ib) in (chain or []):
+        s.assert_eq(PUBS_ALL[a][ia], PUBS_ALL[b][ib])
+    r1cs, w = s.finish()
+    publics = [int(vk) for (_, vk, _) in items] \
+        + [int(v) for pp in pubs_per for v in pp]
+    return r1cs, w, publics
 
 
 _zero_cache: dict = {}
@@ -374,10 +427,17 @@ def _zero(s: Synthesizer) -> int:
     return z
 
 
-def _fold_gadget(s: Synthesizer, group_sigs, from_bits, to_bits, g,
+def _const_sig(s: Synthesizer, v: int) -> int:
+    sig = s.alloc(int(v) % P)
+    s.b.constrain({sig: 1, 0: R - int(v) % P}, {0: 1}, {0: 0})
+    return sig
+
+
+def _fold_gadget(s: Synthesizer, group_sigs, from_bits, to_bits, y_bits,
                  special_x, n_bits_ext):
-    """verifier._fold_point with gadget arithmetic (tiny INTT as
-    constant-coefficient lincombs, then Horner in the special point)."""
+    """verifier._fold_point with gadget arithmetic: tiny INTT as
+    constant-coefficient lincombs, then Horner in special_x scaled by
+    shift^{-1}·w^{-y} — the w^{-y} power is bit-keyed (fixed circuit)."""
     n_x = 1 << (from_bits - to_bits)
     w_sub = gl.w(from_bits - to_bits)
     w_sub_inv = pow(w_sub, rm.P - 2, rm.P)
@@ -391,39 +451,11 @@ def _fold_gadget(s: Synthesizer, group_sigs, from_bits, to_bits, g,
             limbs.append(gd.gl_lincomb(s, terms))
         coefs.append(limbs)
     s_inv = pow(gl.shift_inv(), 1 << (n_bits_ext - from_bits), rm.P)
-    sg = s_inv * pow(pow(gl.w(from_bits), rm.P - 2, rm.P), g, rm.P) % rm.P
-    factor = gd.gl3_muls(s, special_x, sg)
+    w_from_inv = pow(gl.w(from_bits), rm.P - 2, rm.P)
+    wg = gd.gl_pow_bits(s, w_from_inv, y_bits)
+    sg = gd.gl_mul(s, wg, _const_sig(s, s_inv))
+    factor = gd.gl3_mul_base_sig(s, special_x, sg)
     acc = _const3(s, 0)
     for c in reversed(coefs):
         acc = gd.gl3_add(s, gd.gl3_mul(s, acc, factor), c)
     return acc
-
-
-def _host_queries(setup, verkey_i: int, proof) -> list[int]:
-    """Host-side transcript replay to learn the query indices the circuit
-    will pin (the specialization values)."""
-    from ..ops.transcript_bn128 import TranscriptBN128
-
-    t = TranscriptBN128()
-    t.put([verkey_i])
-    t.put(proof.publics)
-    t.put([int(proof.roots[0])])
-    t.get_field3(); t.get_field3()
-    t.put([int(proof.roots[1])])
-    t.get_field3(); t.get_field3()
-    t.put([int(proof.roots[2])])
-    t.get_field3()
-    t.put([int(proof.roots[3])])
-    t.get_field3()
-    for e in proof.evals:
-        t.put(list(e))
-    t.get_field3(); t.get_field3()
-    steps = list(setup.fri_steps)
-    for si in range(len(steps)):
-        t.get_field3()
-        if si < len(steps) - 1:
-            t.put([int(proof.fri[si + 1].root)])
-        else:
-            for row in np.asarray(proof.final_pol):
-                t.put([int(v) for v in row])
-    return t.get_permutations(setup.n_queries, steps[0])
