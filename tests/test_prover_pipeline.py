@@ -80,10 +80,21 @@ def test_request_queue(prover):
 
 
 def test_blake2b_vector():
+    """Device Blake2b-256 vs hashlib across block-boundary sizes, plus
+    the batched single-block path (reference Blake2b256_Test shape)."""
+    import hashlib
+
     from zkevm_prover_tpu.ops import blake
 
     assert blake.blake2b_256_test()
-    assert len(blake.blake2b_256(b"abc")) == 32
+    for n in (0, 1, 3, 55, 127, 128, 129, 255, 256, 300):
+        data = (bytes(range(min(n, 256))) + bytes(max(0, n - 256)))[:n]
+        assert blake.blake2b_256(data) == hashlib.blake2b(
+            data, digest_size=32).digest(), f"mismatch at len {n}"
+    msgs = [b"", b"abc", bytes(range(128))]
+    outs = blake.blake2b_256_many(msgs)
+    for m, o in zip(msgs, outs):
+        assert o == hashlib.blake2b(m, digest_size=32).digest()
 
 
 def test_aggregate_tree_four_batches(prover):
