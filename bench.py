@@ -2,17 +2,28 @@
 
 Measures exactly the reference's STARK_STEP_1 hot path (Starks::genProof
 phase 1, src/starkpil/starks.cpp:53-60): low-degree extension of the
-committed trace (INTT 2^22 + coset NTT 2^23, 8 columns) followed by the
-Poseidon Merkle tree over the extended rows (linear hash + reduction to the
-root — the Pallas VMEM kernel on TPU).
+committed trace (INTT 2^21 + coset NTT 2^22 over 64 columns — 1 GB of
+trace, a production-shaped column count slice) followed by the Poseidon
+Merkle tree over the extended rows (linear hash + reduction to the root —
+the Pallas VMEM kernel on TPU).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 value = extended-domain rows committed per second (N_ext / wall).
-vs_baseline: the reference publishes no numbers (BASELINE.md); the
-normalization constant is a documented nominal for its AVX-512 pipeline —
-2^23 rows of LDE+merkelize in 4 s on a 32-core Xeon (≈ 2.1 Mrow/s) — fixed
-across rounds so the trend is comparable.
+vs_baseline = fraction of the per-chip ROOFLINE (BASELINE.md's own
+target metric: >= 0.90 of roofline). The bound is the HBM traffic of the
+data movement this phase must perform (v5e: ~819 GB/s):
+
+    INTT N          read + write          2 passes over D bytes
+    coset NTT 2N    four-step, 2 butterfly stages + transpose
+                    ~3 reads + 3 writes over 2D
+    Poseidon leaves read 2N rows          2D
+    tree levels     ~2N/8 hashes of 8B*8  ~0.3 D
+  total ~ 10.3 * D,   D = N * C * 8 bytes
+
+Poseidon itself is VPU-compute-bound, so the achievable fraction tops
+out below 1.0; the reference publishes no numbers (BASELINE.md) — the
+roofline is the honest absolute yardstick.
 """
 
 import json
@@ -21,16 +32,15 @@ import time
 
 import numpy as np
 
-REFERENCE_NOMINAL_MROW_S = 2.1  # documented normalization constant
-
-N_BITS = 22
-N_BITS_EXT = 23
-N_COLS = 8
+N_BITS = 21
+N_BITS_EXT = 22
+N_COLS = 64
+HBM_GBPS = 819.0        # v5e single-chip HBM bandwidth
+TRAFFIC_FACTOR = 10.3   # passes over the trace bytes (derivation above)
 
 
 def main() -> None:
     import jax
-    import jax.numpy as jnp
 
     from zkevm_prover_tpu.ops import goldilocks as gl
     from zkevm_prover_tpu.parallel import pipeline
@@ -52,12 +62,14 @@ def main() -> None:
         times.append(time.perf_counter() - t0)
     best = min(times)
 
+    d_bytes = (1 << N_BITS) * N_COLS * 8
+    roofline_s = TRAFFIC_FACTOR * d_bytes / (HBM_GBPS * 1e9)
     mrow_s = (1 << N_BITS_EXT) / best / 1e6
     print(json.dumps({
-        "metric": "stark_commit_lde_merkle_2e23x8",
+        "metric": "stark_commit_lde_merkle_2e22x64",
         "value": round(mrow_s, 3),
         "unit": "Mrow/s",
-        "vs_baseline": round(mrow_s / REFERENCE_NOMINAL_MROW_S, 3),
+        "vs_baseline": round(roofline_s / best, 3),
     }))
 
 
