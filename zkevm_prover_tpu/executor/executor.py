@@ -166,11 +166,17 @@ class Executor:
 
     def prove_all(self, actions: BatchActions, db=None) -> dict[str, object]:
         """Prove every active SM; returns {name: (prover, proof)}."""
-        traces = self.execute(actions, db=db)
+        return self.prove_traces(self.execute(actions, db=db))
+
+    def prove_traces(self, traces: dict[str, np.ndarray],
+                     hash_type: str = "GL") -> dict[str, object]:
+        """Prove pre-computed commit pols — the resume half of the
+        commit-pols checkpoint (reference test/prover/main.cpp:6-50 proves
+        from a saved zkevm.commit without re-executing)."""
         proofs = {}
         for name, tr in traces.items():
-            prover = self._prover(name)
-            proofs[name] = (prover, prover.prove(tr))
+            prover = self._prover(name, hash_type)
+            proofs[name] = (prover, prover.prove(np.asarray(tr)))
         return proofs
 
     def prove_recursive(self, actions: BatchActions,

@@ -24,23 +24,48 @@ def _k(key) -> str:
 
 
 class Database:
-    """Thread-safe node/program store with write-through file persistence."""
+    """Thread-safe node/program store with write-through file persistence.
 
-    def __init__(self, path: str | None = None):
+    `backend` is an optional SLOW second-level store (the role PostgreSQL
+    plays in the reference: any object with read/get_program) consulted on
+    a local miss, fronted by `cache` ("lru" or "associative" — reference
+    database_cache.cpp / database_associative_cache.cpp, selected by
+    config.useAssociativeCache at main.cpp:408-417)."""
+
+    def __init__(self, path: str | None = None, backend=None,
+                 cache: str | None = None, **cache_kw):
+        from .cache import make_cache
+
         self._nodes: dict[str, list[int]] = {}
         self._programs: dict[str, bytes] = {}
         self._log: list[tuple] = []  # (kind, key) write log for GetFlushData
         self._lock = threading.Lock()
         self._path = path
+        self._backend = backend
+        self._cache = make_cache(cache if backend is not None else None,
+                                 **cache_kw)
         if path and os.path.exists(path):
             self._load(path)
 
     # -- nodes ---------------------------------------------------------------
 
     def read(self, key) -> list[int] | None:
+        ks = _k(key)
         with self._lock:
-            v = self._nodes.get(_k(key))
-            return list(v) if v is not None else None
+            v = self._nodes.get(ks)
+            if v is not None:
+                return list(v)
+        if self._backend is None:
+            return None
+        # miss: cache -> backend -> cache (reference Database::read order)
+        if self._cache is not None:
+            v = self._cache.get(ks)
+            if v is not None:
+                return list(v)
+        v = self._backend.read(key)
+        if v is not None and self._cache is not None:
+            self._cache.put(ks, list(v))
+        return list(v) if v is not None else None
 
     def write(self, key, value: list[int]) -> None:
         # 12 = 8 inputs + 4 capacity; the reference's input-JSON db also
@@ -56,8 +81,21 @@ class Database:
     # -- programs (contract bytecode keyed by poseidon linear hash) ----------
 
     def get_program(self, key) -> bytes | None:
+        ks = _k(key)
         with self._lock:
-            return self._programs.get(_k(key))
+            p = self._programs.get(ks)
+            if p is not None:
+                return p
+        if self._backend is None:
+            return None
+        if self._cache is not None:
+            p = self._cache.get("p:" + ks)
+            if p is not None:
+                return p
+        p = self._backend.get_program(key)
+        if p is not None and self._cache is not None:
+            self._cache.put("p:" + ks, bytes(p))
+        return p
 
     def set_program(self, key, data: bytes) -> None:
         with self._lock:

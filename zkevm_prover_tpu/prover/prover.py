@@ -178,11 +178,21 @@ class Prover:
         return {"publics": pub, "counters": counters,
                 "tracer": tracer, "last_step": res.last_step}
 
-    def gen_batch_proof(self, inp: ProofInput) -> BatchProof:
+    def gen_batch_proof(self, inp: ProofInput,
+                        save_cm_pols: str | None = None) -> BatchProof:
+        """save_cm_pols: checkpoint the executed commit pols to this path
+        before proving (reference config.zkevmCmPolsAfterExecutor)."""
         with timer("EXECUTOR_EXECUTE_BATCH_PROOF", self.metrics, log=False):
             counters = self.executor.counters(inp.actions)
+            traces = self.executor.execute(inp.actions)
+        if save_cm_pols:
+            from . import checkpoint
+
+            checkpoint.save_commit_pols(
+                save_cm_pols, traces, publics=dataclasses.asdict(inp.publics),
+                meta={"counters": counters})
         with timer("STARK_PROOF_BATCH_PROOF", self.metrics, log=False):
-            sm_proofs = self.executor.prove_all(inp.actions)
+            sm_proofs = self.executor.prove_traces(traces)
         pub = dataclasses.replace(inp.publics)
         pub.new_acc_input_hash = pub.acc_input_hash()
         pub.new_batch_num = pub.old_batch_num + 1
@@ -190,6 +200,27 @@ class Prover:
             pub.new_state_root = pub.old_state_root
         return BatchProof(publics=pub, sm_proofs=sm_proofs,
                           counters=counters, actions=inp.actions)
+
+    def gen_batch_proof_from_commit(self, path: str) -> BatchProof:
+        """Resume proving from a commit-pols checkpoint — the STARK-only
+        path (reference test/prover/main.cpp: load zkevm.commit + publics,
+        run Starks::genProof, no executor)."""
+        from . import checkpoint
+
+        traces, hdr = checkpoint.load_commit_pols(path)
+        pub = PublicInputs(**hdr["publics"]) if hdr["publics"] \
+            else PublicInputs()
+        with timer("STARK_PROOF_BATCH_PROOF", self.metrics, log=False):
+            sm_proofs = self.executor.prove_traces(traces)
+        if pub.new_acc_input_hash == "0x" + "00" * 32:
+            pub.new_acc_input_hash = pub.acc_input_hash()
+        if pub.new_batch_num == 0:
+            pub.new_batch_num = pub.old_batch_num + 1
+        if pub.new_state_root == "0x" + "00" * 32:
+            pub.new_state_root = pub.old_state_root
+        return BatchProof(publics=pub, sm_proofs=sm_proofs,
+                          counters=hdr["meta"].get("counters", {}),
+                          actions=None)
 
     def compress_proof(self, bp: BatchProof) -> dict:
         """The recursiveF role: the batch's SM traces re-proven under the
@@ -277,6 +308,22 @@ class Prover:
             self._final_plonk = plonk.plonk_setup(b.build())
         return self._final_plonk
 
+    def _final_circuit_fflonk(self):
+        """The digest-binding statement under fflonk combined commitments —
+        the reference's DEFAULT final SNARK (final.fflonk.zkey,
+        config.cpp:268; prover.cpp:931 dispatch)."""
+        if getattr(self, "_final_fflonk", None) is None:
+            from ..snark import fflonk
+
+            b = fflonk.Builder(n_public=1)
+            s = b.alloc()
+            inv = b.alloc()
+            t = b.mul(s, inv)
+            b._gate(1, bn254.R - 1, 0, 0, 0, s, t, 0)  # s·t - s = 0
+            b.assert_equal(s, 1)                        # s == digest public
+            self._final_fflonk = fflonk.fflonk_setup(b.build())
+        return self._final_fflonk
+
     def _leaf_batches(self, node) -> list:
         if isinstance(node, BatchProof):
             return [node]
@@ -334,6 +381,14 @@ class Prover:
             with timer("RAPID_SNARK", self.metrics, log=False):
                 proof = plonk.plonk_prove(setup, assign)
             proof = {"system": "plonk", **proof}
+        elif snark == "fflonk":
+            from ..snark import fflonk
+
+            setup = self._final_circuit_fflonk()
+            assign = [0, digest, s, inv, s * inv % bn254.R]
+            with timer("RAPID_SNARK", self.metrics, log=False):
+                proof = fflonk.fflonk_prove(setup, assign)
+            proof = {"system": "fflonk", **proof}
         else:
             setup = self._final_circuit()
             w = [1, digest, s, inv, s * inv % bn254.R]
@@ -381,5 +436,11 @@ class Prover:
 
             return plonk.plonk_verify(self._final_circuit_plonk(),
                                       [fp.publics_digest], fp.groth16)
+        if isinstance(fp.groth16, dict) and \
+                fp.groth16.get("system") == "fflonk":
+            from ..snark import fflonk
+
+            return fflonk.fflonk_verify(self._final_circuit_fflonk(),
+                                        [fp.publics_digest], fp.groth16)
         return groth16_verify(self._final_circuit(), [fp.publics_digest],
                               fp.groth16)
