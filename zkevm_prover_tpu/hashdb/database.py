@@ -42,8 +42,11 @@ class Database:
         self._lock = threading.Lock()
         self._path = path
         self._backend = backend
-        self._cache = make_cache(cache if backend is not None else None,
-                                 **cache_kw)
+        if backend is None and (cache is not None or cache_kw):
+            raise ValueError(
+                "cache/cache_kw have no effect without a backend: the cache "
+                "fronts backend reads only (reference Database::read order)")
+        self._cache = make_cache(cache, **cache_kw)
         if path and os.path.exists(path):
             self._load(path)
 

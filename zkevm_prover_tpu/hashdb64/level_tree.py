@@ -78,7 +78,9 @@ class LevelTree:
                 return depth
             b = bits[depth]
             if b not in node:
-                return depth
+                # a new leaf would hang one level below this branch —
+                # matches insert()'s return for the same key
+                return depth + 1
             node, depth = node[b], depth + 1
 
     def __contains__(self, key) -> bool:

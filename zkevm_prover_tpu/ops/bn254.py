@@ -355,6 +355,42 @@ def g2_is_on_curve(pt) -> bool:
     return f2_sub(f2_sq(y), f2_add(f2_mul(f2_sq(x), x), B2)) == F2_ZERO
 
 
+def g1_validate(pt) -> bool:
+    """Untrusted-input check: well-formed affine tuple, coords in Fq,
+    on-curve (G1 has cofactor 1, so on-curve implies in-subgroup)."""
+    if pt is INF:
+        return True
+    if not (isinstance(pt, (tuple, list)) and len(pt) == 2):
+        return False
+    x, y = pt
+    if not (isinstance(x, int) and isinstance(y, int)):
+        return False
+    if not (0 <= x < P and 0 <= y < P):
+        return False
+    return g1_is_on_curve((x, y))
+
+
+def g2_validate(pt) -> bool:
+    """Untrusted-input check for G2: shape + Fq2 ranges + on-curve +
+    r-torsion (the twist has a large cofactor, so subgroup must be checked
+    explicitly: [r]P == O)."""
+    if pt is INF:
+        return True
+    if not (isinstance(pt, (tuple, list)) and len(pt) == 2):
+        return False
+    try:
+        (x0, x1), (y0, y1) = pt
+    except (TypeError, ValueError):
+        return False
+    for c in (x0, x1, y0, y1):
+        if not (isinstance(c, int) and 0 <= c < P):
+            return False
+    pt = ((x0, x1), (y0, y1))
+    if not g2_is_on_curve(pt):
+        return False
+    return g2_mul(pt, R) is INF
+
+
 # --- Pippenger MSM ------------------------------------------------------------------
 # Reference: ParallelMultiexp (src/ffiasm/multiexp.c.hpp:37-115): bucket method
 # with per-chunk accumulators and a final bucket collapse. Window size follows

@@ -204,7 +204,14 @@ class Prover:
     def gen_batch_proof_from_commit(self, path: str) -> BatchProof:
         """Resume proving from a commit-pols checkpoint — the STARK-only
         path (reference test/prover/main.cpp: load zkevm.commit + publics,
-        run Starks::genProof, no executor)."""
+        run Starks::genProof, no executor).
+
+        Limitation (matches the reference, whose zkevm.commit file also
+        carries no action lists): the checkpoint stores commit pols only,
+        so the resumed BatchProof has actions=None and cannot feed
+        compress_proof / gen_final_proof_stark — those need the action
+        batch to re-prove under the BN128 scheme. Resume covers the batch
+        STARK; the recursive pipeline starts from a full gen_batch_proof."""
         from . import checkpoint
 
         traces, hdr = checkpoint.load_commit_pols(path)
@@ -227,7 +234,11 @@ class Prover:
         BN128 scheme so the final circuit can verify them (cached on the
         BatchProof)."""
         if bp.recursive is None:
-            assert bp.actions is not None, "batch proof lacks actions"
+            if bp.actions is None:
+                raise RuntimeError(
+                    "batch proof lacks actions (resumed from a commit-pols "
+                    "checkpoint?) — only a full gen_batch_proof result can "
+                    "be compressed/finalized")
             with timer("STARK_RECURSIVE_F_PROOF", self.metrics, log=False):
                 bp.recursive = self.executor.prove_recursive(bp.actions)
         return bp.recursive

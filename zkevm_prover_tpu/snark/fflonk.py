@@ -453,8 +453,16 @@ def _mul(p, k):
 
 def fflonk_verify(setup: FflonkSetup, publics: list[int],
                   proof: dict) -> bool:
-    pubs = [int(p) % R for p in publics]
-    ev = {k: proof[f"ev_{k}"] % R for k in EV_ORDER}
+    # untrusted proof: reject malformed / off-curve points and non-integer
+    # evals with a clean False rather than undefined arithmetic
+    try:
+        for k in ("c1", "c2", "w1", "w2"):
+            if not bn254.g1_validate(proof[k]):
+                return False
+        pubs = [int(p) % R for p in publics]
+        ev = {k: int(proof[f"ev_{k}"]) % R for k in EV_ORDER}
+    except (KeyError, TypeError, ValueError):
+        return False
 
     beta = _transcript_challenge([setup.com_c0] + pubs + [proof["c1"]],
                                  b"beta")

@@ -207,6 +207,13 @@ def groth16_prove(setup: Groth16Setup, witness: list[int],
 def groth16_verify(setup: Groth16Setup, publics: list[int], proof: dict) -> bool:
     """e(-A,B) · e(alpha,beta) · e(L_pub,gamma) · e(C,delta) == 1."""
     assert len(publics) == setup.r1cs.n_public
+    # untrusted proof: reject malformed / off-curve / out-of-subgroup points
+    try:
+        if not (bn.g1_validate(proof["pi_a"]) and bn.g1_validate(proof["pi_c"])
+                and bn.g2_validate(proof["pi_b"])):
+            return False
+    except KeyError:
+        return False
     vk_x = setup.ic[0]
     for i, v in enumerate(publics):
         vk_x = bn.g1_add(vk_x, bn.g1_mul(setup.ic[i + 1], v))

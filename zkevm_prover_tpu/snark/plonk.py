@@ -436,6 +436,16 @@ def _kzg_quotient(coeffs: list[int], point: int) -> list[int]:
 
 def plonk_verify(setup: PlonkSetup, publics: list[int],
                  proof: dict) -> bool:
+    # untrusted proof: validate every point / eval before any arithmetic
+    try:
+        for k in ("a", "b", "c", "z", "tlo", "tmid", "thi", "wz", "wzw"):
+            if not bn254.g1_validate(proof[k]):
+                return False
+        for k in ("ev_a", "ev_b", "ev_c", "ev_s1", "ev_s2", "ev_zw"):
+            if not isinstance(proof[k], int):
+                return False
+    except KeyError:
+        return False
     c = setup.circuit
     n = setup.n
     w = bn254.fr_w(setup.n_bits)
