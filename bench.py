@@ -10,20 +10,28 @@ the Pallas VMEM kernel on TPU).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 value = extended-domain rows committed per second (N_ext / wall).
-vs_baseline = fraction of the per-chip ROOFLINE (BASELINE.md's own
-target metric: >= 0.90 of roofline). The bound is the HBM traffic of the
-data movement this phase must perform (v5e: ~819 GB/s):
+vs_baseline = fraction of the BINDING per-chip roofline — the larger of
+the phase's two physical lower bounds (BASELINE.md target: >= 0.90):
 
+  HBM bound (the LDE data movement, v5e ~819 GB/s):
     INTT N          read + write          2 passes over D bytes
     coset NTT 2N    four-step, 2 butterfly stages + transpose
                     ~3 reads + 3 writes over 2D
     Poseidon leaves read 2N rows          2D
     tree levels     ~2N/8 hashes of 8B*8  ~0.3 D
-  total ~ 10.3 * D,   D = N * C * 8 bytes
+    total ~ 10.3 * D,   D = N * C * 8 bytes          (~14 ms here)
 
-Poseidon itself is VPU-compute-bound, so the achievable fraction tops
-out below 1.0; the reference publishes no numbers (BASELINE.md) — the
-roofline is the honest absolute yardstick.
+  VPU compute bound (Poseidon dominates this phase):
+    perms = 2N * ceil(C/8)  leaf sponge  +  ~2N  tree levels
+    one width-12 permutation in u32-limb arithmetic is ~14k VPU ops
+    (30 rounds: full s-box 12 lanes x 8 + partial 22, 30 MDS 12x12;
+    GL mul ~10 ops, add ~4 — tools/measure_baseline.py derivation);
+    v5e peak ~1.97e11 int32 op/s -> ~14.1M perms/s    (~2.7 s here)
+
+The phase is Poseidon-compute-bound: the VPU bound is the binding one,
+and vs_baseline reports time_bound_vpu... / measured (HBM shown for
+reference in the derivation only). The reference repo publishes no
+numbers of its own (BASELINE.md: published {}).
 """
 
 import json
@@ -36,7 +44,9 @@ N_BITS = 21
 N_BITS_EXT = 22
 N_COLS = 64
 HBM_GBPS = 819.0        # v5e single-chip HBM bandwidth
-TRAFFIC_FACTOR = 10.3   # passes over the trace bytes (derivation above)
+TRAFFIC_FACTOR = 10.3   # HBM passes over the trace bytes (derivation above)
+VPU_OPS_PER_S = 1.97e11  # v5e VPU int32 ops/s (tools/measure_baseline.py)
+OPS_PER_PERM = 14000.0   # u32-limb Poseidon permutation cost
 
 
 def main() -> None:
@@ -63,13 +73,17 @@ def main() -> None:
     best = min(times)
 
     d_bytes = (1 << N_BITS) * N_COLS * 8
-    roofline_s = TRAFFIC_FACTOR * d_bytes / (HBM_GBPS * 1e9)
-    mrow_s = (1 << N_BITS_EXT) / best / 1e6
+    t_hbm = TRAFFIC_FACTOR * d_bytes / (HBM_GBPS * 1e9)
+    n_ext = 1 << N_BITS_EXT
+    perms = n_ext * (-(-N_COLS // 8)) + n_ext  # leaf sponge + tree levels
+    t_vpu = perms / (VPU_OPS_PER_S / OPS_PER_PERM)
+    t_bound = max(t_hbm, t_vpu)  # the BINDING roofline
+    mrow_s = n_ext / best / 1e6
     print(json.dumps({
         "metric": "stark_commit_lde_merkle_2e22x64",
         "value": round(mrow_s, 3),
         "unit": "Mrow/s",
-        "vs_baseline": round(roofline_s / best, 3),
+        "vs_baseline": round(t_bound / best, 3),
     }))
 
 

@@ -366,4 +366,4 @@ def test_main_air_rejects_tampering():
     t[2, cols.index("inB")] = np.uint64(0)
     t[2, cols.index("OP0")] = np.uint64(7)
     t[3:, cols.index("C0")] = np.uint64(7)
-    assert "plookup" in prover.check_constraints(t)
+    assert any(str(b).startswith("plookup") for b in prover.check_constraints(t))

@@ -150,7 +150,7 @@ def test_storage_climb_key_binding():
     ck_tr2 = climb_key.execute(emitted["climb_key"][1:], N_BITS)
     stacked = air.stack_traces({"storage": st_tr, "climb_key": ck_tr2})
     with jax.disable_jit():
-        assert "plookup" in prover.check_constraints(stacked)
+        assert any(str(b).startswith("plookup") for b in prover.check_constraints(stacked))
 
 
 def test_storage_values_roundtrip():

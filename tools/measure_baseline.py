@@ -85,7 +85,7 @@ def measure_poseidon(batch_bits: int = 20) -> dict:
     compile_s, run_s, out = bench_fn(f, x)
     checksum = int(np.asarray(jax.device_get(out[0, 0])))
     perms = (1 << batch_bits) / run_s
-    vpu_bound = 1.97e14 / 14000.0   # ops/s over ~14k u32 ops/perm
+    vpu_bound = 1.97e11 / 14000.0   # ops/s over ~14k u32 ops/perm
     return {"metric": f"poseidon_perms_2e{batch_bits}",
             "seconds": round(run_s, 4), "compile_s": round(compile_s, 1),
             "mperms_per_s": round(perms / 1e6, 2),

@@ -46,9 +46,16 @@ Current proven bindings:
                        into 7-byte elements, bound positionally into the
                        PoseidonG permutation groups, fe4 digest read back
 
-Still host-bound (emitted actions checked by construction):
-  hash instruction counters (cntKeccakF/cntSha256F/cntPaddingPG in the
-  Main AIR) — the per-message block counts; next increment.
+  main  -> padding_*   every hashXDigest row's committed incCounter
+                       (INCCNT) equals the padded message's block count
+                       (BLKCNT), driving the in-circuit cntKeccakF /
+                       cntSha256F / cntPaddingPG / cntPoseidonG
+                       transitions (reference incCounter, main.pil)
+  main  -> storage     every sRD/sWR row's INCCNT - 2 equals the
+                       Storage SM's per-action PoseidonG count (PHC)
+  storage              foreign-leaf key-inequality witnesses: a leaf
+                       row without FOUND must exhibit a differing key
+                       lane (smt.cpp get-on-missing semantics)
 """
 
 from __future__ import annotations
@@ -64,6 +71,23 @@ from .sm import (arith, binary, bits2field, climb_key, hash_bit,
 
 DEFAULT_INCLUDE = ("memory", "binary", "storage", "poseidon_g",
                    "climb_key", "mem_align", "arith")
+
+
+def default_include(n_bits: int) -> tuple:
+    """The SM set a batch proof at this domain can bind in-circuit.
+
+    The Binary SM needs 64 rows/op at its largest affordable nibble width;
+    a production batch's ~700 binary ops only fit from 2^16 up (the
+    reference sizes everything at 2^23). The keccak/sha256 gate pipelines
+    need >= 2^18 (one 24-round keccak slot = 155,286 rows,
+    keccak_f_executor.hpp:47-48)."""
+    inc = ("memory", "storage", "poseidon_g", "climb_key", "mem_align",
+           "arith", "padding_pg")
+    if n_bits >= 16:
+        inc += ("binary",)
+    if n_bits >= 18:
+        inc += ("keccak", "sha256")
+    return inc
 
 
 def keccak_pipeline_cfg(circ, pack: int, limb_bits: int) -> dict:
@@ -224,13 +248,17 @@ def build_batch_air(rom, n_bits: int,
                for l in range(8)]
         nr = [srd * srfe[i] + swr * opfe[i] for i in range(4)]
         f = (srfe + [air.cm("main", f"KEY{j}") for j in range(4)]
-             + val + nr + [srd])
+             + val + nr + [srd]
+             # incCounter = PHC + 2 key-derivation hashes (the reference's
+             # proofHashCounter + 2 committed on sRD/sWR rows)
+             + [air.cm("main", "INCCNT") - 2])
         t = ([air.cm("storage", f"OROOT{j}") for j in range(4)]
              + [air.cm("storage", f"RKEY{j}") for j in range(4)]
              + [air.cm("storage", f"VLOW{j}") for j in range(4)]
              + [air.cm("storage", f"VHIGH{j}") for j in range(4)]
              + [air.cm("storage", f"ANROOT{j}") for j in range(4)]
-             + [air.cm("storage", "SAME")])
+             + [air.cm("storage", "SAME")]
+             + [air.cm("storage", "PHC")])
         air.lookup(f, t, sel_f=srd + swr,
                    sel_t=air.cm("storage", "START")
                    * air.cm("storage", "OACT"))
@@ -350,13 +378,13 @@ def build_batch_air(rom, n_bits: int,
                    sel_t=air.const("padding_pg", "HOLD"))
 
     if "climb_key" in include and "storage" in include:
-        # every storage climb-down step's (child key, level, bit) must be a
-        # ClimbKey operation — the no-wrap guarantee the storage AIR's
-        # modular climb equation cannot give by itself
-        def nxt(sm, col):
-            return ex.Cm(air.cm(sm, col).id, True)
-
-        f = ([nxt("storage", f"RKEY{j}") for j in range(4)]
+        # every storage climb-down step must be a ClimbKey operation: the
+        # climb table's result row carries the PARENT key (the climbed
+        # lane, K@ISLAST = 2·child+bit without wrap), so binding the
+        # current row's RKEY proves the parent lane is reachable by a
+        # non-wrapping climb — the guarantee the storage AIR's modular
+        # climb equation (RKEY = 2·RKEY' + BIT mod p) cannot give itself
+        f = ([air.cm("storage", f"RKEY{j}") for j in range(4)]
              + [air.cm("storage", "LEVEL"), air.cm("storage", "BIT")])
         t = ([air.cm("climb_key", f"KEY{j}") for j in range(4)]
              + [air.cm("climb_key", "LEVEL"), air.cm("climb_key", "BIT")])
@@ -380,14 +408,17 @@ def _bind_main_padding(air: CombinedAIR, flag_prefix: str,
          + [air.cm(padding, f"V{l}") for l in range(8)])
     air.lookup(f, t, sel_f=w + w1, sel_t=air.cm(padding, "CRXEND"))
 
-    # 2. Main hashLen / hashDigest rows -> padding message-end tuples
+    # 2. Main hashLen / hashDigest rows -> padding message-end tuples.
+    # The digest row also binds its committed incCounter (INCCNT) to the
+    # message's block count — the reference main.pil hashKDigest lookup
+    # carrying incCounter into PaddingKK (main_executor.cpp:5252-5257).
     air.lookup([air.cm("main", "ADDR"), air.cm("main", "OP0")],
                [air.cm(padding, "ADDR"), air.cm(padding, "ILEN")],
                sel_f=air.cm("main", f"{flag_prefix}LEN"),
                sel_t=air.cm(padding, "MENDACT"))
-    air.lookup([air.cm("main", "ADDR")]
+    air.lookup([air.cm("main", "ADDR"), air.cm("main", "INCCNT")]
                + [air.cm("main", f"OP{l}") for l in range(8)],
-               [air.cm(padding, "ADDR")]
+               [air.cm(padding, "ADDR"), air.cm(padding, "BLKCNT")]
                + [air.cm(padding, f"DG{l}") for l in range(8)],
                sel_f=air.cm("main", f"{flag_prefix}DIGEST"),
                sel_t=air.cm(padding, "MENDACT"))

@@ -29,9 +29,12 @@ TPU-first redesign notes:
     b = min(n_bits, 16) bits, each range-checked by plookup, so small test
     domains carry the same soundness.
 
-Co-processor binding (memory/arith/binary/hash/storage plookups across SMs)
-is host-checked action emission for now — the cross-SM lookup unification
-milestone replaces it with shared-challenge lookups.
+Co-processor binding happens in the combined batch AIR
+(executor/combined.py): memory/binary/storage/poseidon/climbkey/memalign/
+arith permutations+lookups, the hash-pipeline chains, and the committed
+incCounter (INCCNT) driving the in-circuit counter transitions. Publics
+live in fixed trace cells and are boundary-constrained (reference publics
+layout, prover.cpp:494-560).
 """
 
 from __future__ import annotations
@@ -95,6 +98,9 @@ BOUND_FLAG_COLS = [
     ("HASHSLEN", "hashSLen"), ("HASHSDIGEST", "hashSDigest"),
     ("inCntArith", "inCntArith"), ("inCntBinary", "inCntBinary"),
     ("inCntMemAlign", "inCntMemAlign"),
+    ("inCntKeccakF", "inCntKeccakF"), ("inCntSha256F", "inCntSha256F"),
+    ("inCntPoseidonG", "inCntPoseidonG"),
+    ("inCntPaddingPG", "inCntPaddingPG"),
     ("jmpAddr", "jmpAddr"), ("elseAddr", "elseAddr"),
     ("OFFSET", "offset"), ("IND", "ind"), ("INDRR", "indRR"),
     ("INCSTACK", "incStack"),
@@ -111,17 +117,25 @@ DERIVED_COLS = [
     ("INCM", lambda ln: 1 if (ln.memAlignRD or ln.memAlignWR
                               or ln.memAlignWR8) else 0),
 ]
-# counter registers with in-AIR transitions (hash counters' increments are
-# data-dependent — they stay host-tracked until the hash-side binding)
+# counter registers with in-AIR transitions driven by ROM-derived
+# increments
 CNT_COLS = [("CNT_ARITH", "inCntArith", "INCA"),
             ("CNT_BINARY", "inCntBinary", "INCB"),
             ("CNT_MEMALIGN", "inCntMemAlign", "INCM")]
 
-# ROM-line selector fields whose semantics are not yet in the AIR: a loaded
-# program may not use them for a *provable* run (the interpreter still
-# executes them for process_batch-style runs)
-UNBOUND_IN_FIELDS = ("inCntKeccakF", "inCntSha256F", "inCntPoseidonG",
-                     "inCntPaddingPG")
+# counter registers whose increments are data-dependent: a committed
+# incCounter column (INCCNT) joins the transition on the flagged rows and
+# is bound in the combined AIR — to the padding SMs' per-message block
+# count (BLKCNT) on hashXDigest rows, and to the Storage SM's PHC (+2 key
+# hashes) on sRD/sWR rows. Reference: pols.incCounter + the cntKeccakF /
+# cntPaddingPG / cntSha256F / cntPoseidonG updates,
+# main_executor.cpp:5250-5330.
+HASH_CNT_COLS = [
+    ("CNT_KECCAK_F", "inCntKeccakF", ("HASHKDIGEST",)),
+    ("CNT_PADDING_PG", "inCntPaddingPG", ("HASHPDIGEST",)),
+    ("CNT_SHA256_F", "inCntSha256F", ("HASHSDIGEST",)),
+    ("CNT_POSEIDON_G", "inCntPoseidonG", ("SRD", "SWR", "HASHPDIGEST")),
+]
 
 
 def _reg8_cols():
@@ -144,6 +158,7 @@ def columns(n_bits: int) -> list[str]:
         + [f"KI{j}" for j in range(4)] + [f"KEY{j}" for j in range(4)]
         + [name for name, _ in DERIVED_COLS]
         + [name for name, _, _ in CNT_COLS]
+        + [name for name, _, _ in HASH_CNT_COLS] + ["INCCNT"]
         + [f"JMPN_CH{j}" for j in range(k)]
     )
 
@@ -180,12 +195,6 @@ def _const_limb(ln, l: int) -> int:
 
 def build_air(rom: Rom, n_bits: int) -> AIR:
     n = 1 << n_bits
-    for i, ln in enumerate(rom.lines):
-        for f in UNBOUND_IN_FIELDS:
-            if getattr(ln, f):
-                raise NotImplementedError(
-                    f"line {i}: selector {f} has no AIR binding yet")
-
     air = AIR("main", n_bits)
     names = columns(n_bits)
     handles = air.committed(*names)
@@ -219,6 +228,8 @@ def build_air(rom: Rom, n_bits: int) -> AIR:
             acc = acc + c["inSTEP"] * STEP
             acc = acc + c["inFREE0"] * c["FREE0"]
             for cname, insel, _ in CNT_COLS:
+                acc = acc + c[insel] * c[cname]
+            for cname, insel, _ in HASH_CNT_COLS:
                 acc = acc + c[insel] * c[cname]
         air.require_zero(c[f"OP{l}"] - acc)
 
@@ -333,6 +344,42 @@ def build_air(rom: Rom, n_bits: int) -> AIR:
     for cname, _, inc in CNT_COLS:
         air.require_zero(
             nxt(cname) - (1 - LLAST) * (c[cname] + c[inc]))
+    # data-dependent counters: the committed incCounter joins on the
+    # flagged rows (its value is bound cross-SM in the combined AIR)
+    for cname, _, flags in HASH_CNT_COLS:
+        sel = c[flags[0]]
+        for fl in flags[1:]:
+            sel = sel + c[fl]
+        air.require_zero(
+            nxt(cname) - (1 - LLAST) * (c[cname] + sel * c["INCCNT"]))
+
+    # -- publics: the batch-chaining values live in fixed trace cells
+    # (reference publics layout, prover.cpp:494-560: oldStateRoot = B@0,
+    # oldAccInputHash = C@0, oldBatchNum = SP@0, chainId = GAS@0,
+    # forkid = CTX@0, newStateRoot = SR@lastN, newAccInputHash = D@lastN,
+    # localExitRoot = E@lastN, newBatchNum = PC@lastN)
+    lastN = n - 1
+    for l in range(8):
+        p = air.public(f"oldStateRoot{l}", c[f"B{l}"], 0)
+        air.require_zero(l1 * (c[f"B{l}"] - p))
+    for l in range(8):
+        p = air.public(f"oldAccInputHash{l}", c[f"C{l}"], 0)
+        air.require_zero(l1 * (c[f"C{l}"] - p))
+    for nm, reg in (("oldBatchNum", "SP"), ("chainId", "GAS"),
+                    ("forkid", "CTX")):
+        p = air.public(nm, c[reg], 0)
+        air.require_zero(l1 * (c[reg] - p))
+    for l in range(8):
+        p = air.public(f"newStateRoot{l}", c[f"SR{l}"], lastN)
+        air.require_zero(LLAST * (c[f"SR{l}"] - p))
+    for l in range(8):
+        p = air.public(f"newAccInputHash{l}", c[f"D{l}"], lastN)
+        air.require_zero(LLAST * (c[f"D{l}"] - p))
+    for l in range(8):
+        p = air.public(f"newLocalExitRoot{l}", c[f"E{l}"], lastN)
+        air.require_zero(LLAST * (c[f"E{l}"] - p))
+    p = air.public("newBatchNum", c["PC"], lastN)
+    air.require_zero(LLAST * (c["PC"] - p))
     return air
 
 
@@ -461,6 +508,7 @@ class MainExecutor:
         counters = {k: 0 for k in ("arith", "binary", "memAlign", "keccakF",
                                    "sha256F", "poseidonG", "paddingPG")}
         cnt_regs = {name: 0 for name, _, _ in CNT_COLS}
+        cnt_regs.update({name: 0 for name, _, _ in HASH_CNT_COLS})
         state_root = inp.get("oldStateRoot")
         if state_root is not None:
             regs8["SR"] = _fe4_to_fea8(state_root)
@@ -524,6 +572,9 @@ class MainExecutor:
                 row[col[name]] = fn(ln)
             for name, _, _ in CNT_COLS:
                 row[col[name]] = cnt_regs[name]
+            for name, _, _ in HASH_CNT_COLS:
+                row[col[name]] = cnt_regs[name]
+            inc_counter = 0  # this row's incCounter (INCCNT), when flagged
 
             for cmd in ln.cmd_before:
                 evc.eval_command(ctx, cmd)
@@ -545,6 +596,10 @@ class MainExecutor:
             if ln.inSTEP:
                 op[0] = (op[0] + ln.inSTEP * step) % P
             for name, insel, _ in CNT_COLS:
+                sel = getattr(ln, insel)
+                if sel:
+                    op[0] = (op[0] + sel * cnt_regs[name]) % P
+            for name, insel, _ in HASH_CNT_COLS:
                 sel = getattr(ln, insel)
                 if sel:
                     op[0] = (op[0] + sel * cnt_regs[name]) % P
@@ -668,7 +723,12 @@ class MainExecutor:
                             _fea8_to_scalar_lenient(regs8["B"]),
                             _fea8_to_scalar_lenient(regs8["C"]),
                             value, key)
-                counters["poseidonG"] += 2
+                # incCounter = tree-walk hashes + 2 key-derivation hashes
+                # (reference proofHashCounter + 2, main_executor.cpp:1154)
+                from . import storage as storage_sm
+                inc_counter = storage_sm.hash_count(
+                    actions.storage[-1], smt.db) + 2
+                counters["poseidonG"] += inc_counter
 
             # ---- hash ops ------------------------------------------------
             inc_hash_pos = 0
@@ -684,9 +744,12 @@ class MainExecutor:
                     raise ExecutorError("hashKDigest before len", step, zk_pc, ln)
                 if _fea8_to_scalar_strict(op, step, zk_pc, ln) != hs.digest:
                     raise ExecutorError("hashKDigest mismatch", step, zk_pc, ln)
-                if not hs.digest_called:
-                    hs.digest_called = True
-                    counters["keccakF"] += len(hs.data) // 136 + 1
+                if hs.digest_called:
+                    raise ExecutorError("hashKDigest called twice",
+                                        step, zk_pc, ln)
+                hs.digest_called = True
+                inc_counter = len(hs.data) // 136 + 1
+                counters["keccakF"] += inc_counter
             if ln.hashP or ln.hashP1:
                 inc_hash_pos = self._hash_write(
                     hash_p, addr, op, scal, regs8, ln, ln.hashP1, step, zk_pc,
@@ -724,7 +787,9 @@ class MainExecutor:
                     raise ExecutorError("hashPDigest called twice",
                                         step, zk_pc, ln)
                 hs.digest_called = True
-                counters["paddingPG"] += (len(hs.data) + 1 + 55) // 56
+                inc_counter = (len(hs.data) + 1 + 55) // 56
+                counters["paddingPG"] += inc_counter
+                counters["poseidonG"] += inc_counter
                 if dg != hs.digest:
                     raise ExecutorError("hashPDigest mismatch", step, zk_pc, ln)
             if ln.hashS or ln.hashS1:
@@ -739,7 +804,14 @@ class MainExecutor:
                     raise ExecutorError("hashSDigest before len", step, zk_pc, ln)
                 if _fea8_to_scalar_strict(op, step, zk_pc, ln) != hs.digest:
                     raise ExecutorError("hashSDigest mismatch", step, zk_pc, ln)
+                if hs.digest_called:
+                    raise ExecutorError("hashSDigest called twice",
+                                        step, zk_pc, ln)
+                hs.digest_called = True
+                inc_counter = (len(hs.data) + 1 + 8 + 63) // 64
+                counters["sha256F"] += inc_counter
             row[col["INCHASHPOS"]] = inc_hash_pos
+            row[col["INCCNT"]] = inc_counter
 
             # ---- arith ---------------------------------------------------
             if ln.arithEq0:
@@ -930,6 +1002,15 @@ class MainExecutor:
 
             for (cname, _, _), (_, ifn) in zip(CNT_COLS, DERIVED_COLS):
                 cnt_regs[cname] += ifn(ln)
+            if inc_counter:
+                if ln.hashKDigest:
+                    cnt_regs["CNT_KECCAK_F"] += inc_counter
+                if ln.hashPDigest:
+                    cnt_regs["CNT_PADDING_PG"] += inc_counter
+                if ln.hashSDigest:
+                    cnt_regs["CNT_SHA256_F"] += inc_counter
+                if ln.sRD or ln.sWR or ln.hashPDigest:
+                    cnt_regs["CNT_POSEIDON_G"] += inc_counter
 
             if zk_pc == finalize_label and last_step == 0:
                 last_step = step

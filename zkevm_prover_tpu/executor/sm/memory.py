@@ -72,10 +72,17 @@ def build_air(n_bits: int) -> AIR:
         air.require_zero(NL * (1 - lasta) * mop_p * (1 - mwr_p) * (vp - v))
 
     # ordering via range plookup: within a run STEP strictly increases, on a
-    # run boundary ADDR strictly increases. inc-1 must land in [0, N).
+    # run boundary ADDR strictly increases. inc-1 must land in [0, N^2) —
+    # two committed domain-sized limbs, because the zkEVM address space
+    # (useCTX runs at 0x40000·CTX, main_executor.cpp:841-866) jumps by far
+    # more than a small test domain between runs.
+    ilo, ihi = air.committed("INCLO", "INCHI")
     inc = lasta * (addr_p - addr) + (1 - lasta) * (step_p - step)
     gate = NL * mop_p  # only transitions into real rows, never the wrap
-    air.lookup([gate * (inc - 1)], [rng])
+    air.require_zero(gate * (inc - 1 - ilo - ihi * n))
+    air.require_zero((1 - gate) * (ilo + ihi))
+    air.lookup([ilo], [rng])
+    air.lookup([ihi], [rng])
     return air
 
 
@@ -106,13 +113,19 @@ def execute(actions: list[dict], n_bits: int) -> tuple[np.ndarray, list]:
     rows.sort(key=lambda r: (r[0], r[1]))
     assert len(rows) <= n
 
-    tr = np.zeros((n, 6 + N_VAL), dtype=np.uint64)
+    tr = np.zeros((n, 8 + N_VAL), dtype=np.uint64)
     for i, (ad, st, mop, mwr, chunks) in enumerate(rows):
         lasta = 1 if (i + 1 >= len(rows) or rows[i + 1][0] != ad) else 0
         start = 1 if (i == 0 or rows[i - 1][0] != ad) else 0
-        tr[i] = (ad, st, mop, mwr, lasta, start, *chunks)
+        tr[i] = (ad, st, mop, mwr, lasta, start, *chunks, 0, 0)
+        if i + 1 < len(rows):
+            inc = (rows[i + 1][0] - ad) if lasta else (rows[i + 1][1] - st)
+            tr[i, 6 + N_VAL] = (inc - 1) % n
+            tr[i, 7 + N_VAL] = (inc - 1) // n
     if rows:
         tr[len(rows) - 1, 4] = 1  # last real row ends its run
+        tr[len(rows) - 1, 6 + N_VAL] = 0
+        tr[len(rows) - 1, 7 + N_VAL] = 0
     # padding rows: all zeros (MOP=0); START of first padding row must equal
     # LASTA of the last real row per the transition constraint
     if len(rows) < n:

@@ -174,7 +174,7 @@ def execute(actions: list[dict], n_bits: int, n_active: int | None = None,
     tr = np.zeros((n, len(COLS)), dtype=np.uint64)
     pg_actions = []
     digests = []
-    filler = ps.BindFiller(P, n_bits)
+    filler = ps.BindFiller(P, n_bits, BLOCK)
 
     row = 0
     bid = 0

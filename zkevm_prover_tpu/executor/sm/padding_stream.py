@@ -50,6 +50,7 @@ def add_binding(air, *, byte, pad, padfirst, lasth, poslast, inblock,
     f = air.committed(*[f"F{l}" for l in range(8)])
     v = air.committed(*[f"V{l}" for l in range(8)])
     crxend, mendact = air.committed("CRXEND", "MENDACT")
+    blkcnt = air.committed("BLKCNT")
 
     # folded structural constants (the wrap row n-1 -> 0 is never a valid
     # stream transition: break it so power-of-two block sizes, which leave
@@ -123,6 +124,17 @@ def add_binding(air, *, byte, pad, padfirst, lasth, poslast, inblock,
         air.require_zero(GBLK * (nx(dg[l]) - dg[l]))
         air.require_zero(PLIB * not_mend * (nx(dg[l]) - dg[l]))
 
+    # ---- BLKCNT: 1-based block index within the message --------------------
+    # At the message-end row BLKCNT is exactly the number of permutation
+    # blocks the message occupies — the reference's incCounter the Main SM's
+    # hashXDigest rows commit and main.pil binds through this very lookup
+    # (ceil((len+pad)/BLOCK), main_executor.cpp:2906/3219/3478). The pad
+    # structure already pins the message extent, so the count is sound.
+    air.require_zero(l1 * (blkcnt - 1))
+    air.require_zero(GBLK * (nx(blkcnt) - blkcnt))
+    air.require_zero(PLIB * not_mend * (nx(blkcnt) - blkcnt - 1))
+    air.require_zero(PLIB * lasth * (nx(blkcnt) - 1))
+
     # ---- chunk tiling of the data region ---------------------------------
     for b in (cstart, crend):
         air.require_zero(b * (1 - b))
@@ -166,7 +178,8 @@ def add_binding(air, *, byte, pad, padfirst, lasth, poslast, inblock,
             "ACTIVE": active, "FIRSTBLK": firstblk, "DG": dg,
             "CSTART": cstart, "CREND": crend, "CRLEN": crlen,
             "CSIZE": csize, "CRSP": crsp, "V": v, "CRXEND": crxend,
-            "MENDACT": mendact, "BIDC": BIDC, "BYTEIDXC": BYTEIDXC}
+            "MENDACT": mendact, "BLKCNT": blkcnt,
+            "BIDC": BIDC, "BYTEIDXC": BYTEIDXC}
 
 
 BIND_COLS = (["ADDR", "ALO", "AHI", "POSREG", "ILEN", "ACTIVE", "FIRSTBLK"]
@@ -174,7 +187,7 @@ BIND_COLS = (["ADDR", "ALO", "AHI", "POSREG", "ILEN", "ACTIVE", "FIRSTBLK"]
              + ["CSTART", "CREND", "CINV", "CCONT", "CRLEN", "CSIZE",
                 "CRSP"]
              + [f"F{l}" for l in range(8)] + [f"V{l}" for l in range(8)]
-             + ["CRXEND", "MENDACT"])
+             + ["CRXEND", "MENDACT", "BLKCNT"])
 
 
 def default_reads(length: int) -> dict:
@@ -209,9 +222,11 @@ class BindFiller:
     patch the inter-message address-delta limbs.
     """
 
-    def __init__(self, gl_p: int, n_bits: int):
+    def __init__(self, gl_p: int, n_bits: int, block_bytes: int = 0):
         self.p = gl_p
         self.n_bits = n_bits
+        self.bb = block_bytes
+        self.blkcnt = 1
         self.addr = 0
         self.pos = 0
         self.ilen = 0
@@ -233,6 +248,7 @@ class BindFiller:
         self.chunks = chunk_plan(length, reads)
         self.ci = 0
         self.crlen = 0
+        self.blkcnt = 1
 
     def row(self, global_row: int, byte_val: int, is_pad: bool,
             is_mend: bool, active: int, firstblk: int) -> list[int]:
@@ -267,10 +283,13 @@ class BindFiller:
                   self.csize if not is_pad else 0,
                   self.crsp if not is_pad else 0]
                + ff + (list(self.vv) if not is_pad else [0] * 8)
-               + [crend * active, (1 if is_mend else 0) * active])
+               + [crend * active, (1 if is_mend else 0) * active,
+                  self.blkcnt])
         self.pos += 1
         if not is_pad:
             self.crlen -= 1
+        if self.bb and (global_row % self.bb) == self.bb - 1:
+            self.blkcnt = 1 if is_mend else self.blkcnt + 1
         return out
 
     def finalize(self, tr: np.ndarray, col_of) -> None:

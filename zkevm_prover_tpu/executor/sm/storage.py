@@ -56,6 +56,17 @@ COLS = (
     + [f"ANROOT{j}" for j in range(4)]   # action-level new root, held
     + ["OACT", "NACT", "OLEAF", "NLEAF", "FOUNDO", "FOUNDN",
        "ONODE", "NNODE", "SAME", "LAST", "START", "CHAIN"]
+    # foreign-leaf key-inequality witnesses (one set per tree side): a
+    # leaf row without FOUND must exhibit a lane where the leaf's
+    # remaining key differs from the query's (smt.cpp get semantics — a
+    # mismatched leaf proves absence only if its key actually differs)
+    + [f"OKNEQ{j}" for j in range(4)] + ["OKINV"]
+    + [f"NKNEQ{j}" for j in range(4)] + ["NKINV"]
+    # PHC: suffix count of the PoseidonG permutations this action consumes
+    # (node hashes + found-leaf value preimages); at START it equals the
+    # action total — the reference's proofHashCounter whose +2 completion
+    # is the Main SM's incCounter (main_executor.cpp:1154,1393)
+    + ["PHC"]
 )
 
 
@@ -151,6 +162,41 @@ def build_air(n_bits: int) -> AIR:
     air.require_zero(c["OLEAF"] * (1 - c["ONODE"]))
     air.require_zero(c["NLEAF"] * (1 - c["NNODE"]))
 
+    # the action's value is a single attribute: held across rows, so the
+    # START-row tuple Main looks up IS the value the leaf row proves
+    for j in range(4):
+        air.require_zero(NL * (nxt(f"VLOW{j}") - c[f"VLOW{j}"]))
+        air.require_zero(NL * (nxt(f"VHIGH{j}") - c[f"VHIGH{j}"]))
+    # a new-tree walk that ends without a matching leaf (foreign leaf or
+    # zero subtree) proves value == 0 — the get-on-missing-key semantics
+    for j in range(4):
+        for v in (f"VLOW{j}", f"VHIGH{j}"):
+            air.require_zero(c["NLEAF"] * (1 - c["FOUNDN"]) * c[v])
+            air.require_zero((c["NACT"] - c["NNODE"]) * c[v])
+
+    # foreign-leaf key inequality: FOUND=0 at a leaf requires a committed
+    # one-hot lane pick + inverse witness showing the leaf's remaining key
+    # differs from the query's remaining key in that lane
+    for pre, leafc, foundc in (("O", "OLEAF", "FOUNDO"),
+                               ("N", "NLEAF", "FOUNDN")):
+        for j in range(4):
+            air.require_zero(c[f"{pre}KNEQ{j}"] * (1 - c[f"{pre}KNEQ{j}"]))
+        foreign = c[leafc] * (1 - c[foundc])
+        air.require_zero(
+            foreign * (c[f"{pre}KNEQ0"] + c[f"{pre}KNEQ1"]
+                       + c[f"{pre}KNEQ2"] + c[f"{pre}KNEQ3"] - 1))
+        for j in range(4):
+            air.require_zero(
+                c[f"{pre}KNEQ{j}"]
+                * ((c[f"{pre}L{j}"] - c[f"RKEY{j}"]) * c[f"{pre}KINV"] - 1))
+
+    # PHC: per-row permutation weight summed as a suffix within the action
+    # (weight mirrors execute()'s PoseidonG emissions)
+    w_row = (c["ONODE"] + c["FOUNDO"]
+             + (1 - c["SAME"]) * (c["NNODE"] + c["FOUNDN"]))
+    air.require_zero(c["LAST"] * (c["PHC"] - w_row))
+    air.require_zero(NL * (c["PHC"] - w_row - nxt("PHC")))
+
     # cross-action root chaining: new_root of this action = old_root of the
     # next (CHAIN set on LAST rows of chained sequences). The action's
     # level-0 new root is held in ANROOT through every row so the LAST row
@@ -191,6 +237,38 @@ def _walk(db, root: tuple, path_bits: list[int]):
         level += 1
 
 
+def hash_count(act: dict, db) -> int:
+    """PoseidonG permutations this action's trace rows consume — the value
+    the PHC column carries at the action's START row. The Main SM commits
+    incCounter = hash_count + 2 (key-derivation hashes) on sRD/sWR rows
+    (reference proofHashCounter role, main_executor.cpp:1154,1393), and the
+    combined AIR binds it to PHC through the storage START lookup."""
+    key = tuple(int(v) for v in act["key"])
+    bits = ku.split_key(key)
+    old_root = tuple(int(v) for v in act["root"])
+    same = act["op"] == "get"
+    new_root = old_root if same else tuple(int(v) for v in act["new_root"])
+    ow = _walk(db, old_root, bits)
+    nw = ow if same else _walk(db, new_root, bits)
+
+    def side(walk):
+        cnt = 0
+        rkey = key
+        for l, (r, node, is_leaf) in enumerate(walk):
+            if node is not None:
+                cnt += 1
+                if is_leaf and tuple(node[0:4]) == tuple(
+                        v % P for v in rkey):
+                    cnt += 1
+            lane = l % 4
+            child = list(rkey)
+            child[lane] = (child[lane] - bits[l]) >> 1
+            rkey = tuple(child)
+        return cnt
+
+    return side(ow) + (0 if same else side(nw))
+
+
 def execute(actions: list[dict], n_bits: int, db) -> tuple[np.ndarray, dict]:
     """actions: the Main SM's `actions.storage` stream
     ({op: get|set, root, key, value[, new_root]}); `db` the hashdb database
@@ -218,15 +296,26 @@ def execute(actions: list[dict], n_bits: int, db) -> tuple[np.ndarray, dict]:
         if row + depth > n:
             raise StorageError("storage trace overflow")
 
-        # value at the new leaf (or the old one for gets)
-        leaf_walk = nw
+        # remaining query key per level (RKEY climbs one bit per level)
+        rkeys = [key]
+        for l in range(depth - 1):
+            lane = l % 4
+            child = list(rkeys[-1])
+            child[lane] = (child[lane] - bits[l]) >> 1
+            rkeys.append(tuple(child))
+
+        # value at the new leaf — zero unless the leaf's key matches
+        # (get-on-missing / foreign-leaf actions prove a zero value)
         vfea = [0] * 8
-        if leaf_walk[-1][2]:
-            vh = tuple(leaf_walk[-1][1][4:8])
+        lf = len(nw) - 1
+        if nw[lf][2] and tuple(nw[lf][1][0:4]) == tuple(
+                v % P for v in rkeys[lf]):
+            vh = tuple(nw[lf][1][4:8])
             leaf_val = db.read(vh)
             if leaf_val is not None:
                 vfea = [int(x) for x in leaf_val[:8]]
 
+        weights = [0] * depth
         rkey = key
         for l in range(depth):
             t = tr[row + l]
@@ -255,22 +344,37 @@ def execute(actions: list[dict], n_bits: int, db) -> tuple[np.ndarray, dict]:
                         t[ci[f"{prefix}L{j}"]] = node[j]
                         t[ci[f"{prefix}R{j}"]] = node[4 + j]
                     t[ci[f"{prefix}LEAF"]] = 1 if is_leaf else 0
-                    if is_leaf and tuple(node[0:4]) == tuple(
-                            (rkey[j]) % P for j in range(4)):
+                    found = is_leaf and tuple(node[0:4]) == tuple(
+                        (rkey[j]) % P for j in range(4))
+                    if found:
                         t[ci[f"FOUND{prefix}"]] = 1
+                    elif is_leaf:
+                        # foreign leaf: witness a differing key lane
+                        for j in range(4):
+                            d = (int(node[j]) - rkey[j]) % P
+                            if d:
+                                t[ci[f"{prefix}KNEQ{j}"]] = 1
+                                t[ci[f"{prefix}KINV"]] = pow(d, P - 2, P)
+                                break
+                        else:
+                            raise StorageError(
+                                "leaf key matches but FOUND not set")
                     if prefix == "N" and same:
                         continue  # identical walk: O already emitted it
                     cap = CAP_LEAF if is_leaf else ZERO4
                     emitted["poseidon_g"].append(
                         {"state": list(node[:8]) + list(cap)})
-                    if is_leaf:
+                    weights[l] += 1
+                    if found:
                         # value preimage: vh = H(value fea8 | cap0)
                         vh = tuple(node[4:8])
                         leaf_val = db.read(vh)
-                        if leaf_val is not None:
-                            emitted["poseidon_g"].append(
-                                {"state": [int(x) for x in leaf_val[:8]]
-                                 + list(ZERO4)})
+                        if leaf_val is None:
+                            raise StorageError(f"missing value node {vh}")
+                        emitted["poseidon_g"].append(
+                            {"state": [int(x) for x in leaf_val[:8]]
+                             + list(ZERO4)})
+                        weights[l] += 1
 
             if l < depth - 1:
                 # climb-down bookkeeping + the ClimbKey no-wrap proof of the
@@ -281,6 +385,12 @@ def execute(actions: list[dict], n_bits: int, db) -> tuple[np.ndarray, dict]:
                 emitted["climb_key"].append(
                     {"key": child, "level": l, "bit": bits[l]})
                 rkey = tuple(child)
+
+        # PHC: suffix sums of the per-row permutation weights
+        acc = 0
+        for l in range(depth - 1, -1, -1):
+            acc += weights[l]
+            tr[row + l, ci["PHC"]] = acc
 
         # chain to the next action when its old root continues this new root
         if ai + 1 < len(actions):

@@ -83,14 +83,22 @@ class PublicInputs:
     new_local_exit_root: str = "0x" + "00" * 32
 
     def acc_input_hash(self) -> str:
-        """Accumulated input hash chaining (keccak over the old acc hash and
-        this batch's data — the reference's accInputHash recurrence)."""
+        """The accInputHash recurrence — exactly what the fork_9 ROM
+        computes at finalizeBatch (rom.json lines 76-95): keccak over
+        oldAccInputHash(32) || batchHashData(32) || l1InfoRoot(32) ||
+        timestampLimit(8) || sequencerAddr(20) || forcedBlockHashL1(32),
+        with batchHashData = keccak(batchL2Data)."""
+        batch_hash_data = keccak.keccak256(
+            bytes.fromhex(self.batch_l2_data[2:] or ""))
+        ts = self.timestamp_limit if isinstance(self.timestamp_limit, int) \
+            else int(str(self.timestamp_limit), 0)
         payload = (
             bytes.fromhex(self.old_acc_input_hash[2:])
-            + bytes.fromhex(self.batch_l2_data[2:] or "")
+            + batch_hash_data
             + bytes.fromhex(self.l1_info_root[2:])
-            + self.timestamp_limit.to_bytes(8, "big")
+            + ts.to_bytes(8, "big")
             + bytes.fromhex(self.sequencer_addr[2:])
+            + bytes.fromhex(self.forced_blockhash_l1[2:])
         )
         return "0x" + keccak.keccak256(payload).hex()
 

@@ -32,6 +32,13 @@ from ..utils import TimeMetricStorage, timer, zklog
 from .input import ProofInput, PublicInputs
 
 
+def _fea_publics_hex(limbs: list[int]) -> str:
+    """8x 32-bit fea publics -> 0x-prefixed 32-byte big-endian hex
+    (reference fea2scalar on the publics cells)."""
+    v = sum(int(limbs[i]) << (32 * i) for i in range(8))
+    return "0x" + v.to_bytes(32, "big").hex()
+
+
 @dataclasses.dataclass
 class BatchProof:
     publics: PublicInputs
@@ -39,6 +46,7 @@ class BatchProof:
     counters: dict
     actions: object = None     # retained for the recursiveF re-proof
     recursive: dict = None     # name -> (prover, BN128 proof), lazy
+    db: object = None          # hashdb Database (ROM-path storage re-proof)
 
 
 @dataclasses.dataclass
@@ -68,8 +76,17 @@ class ProverRequest:
 
 class Prover:
     def __init__(self, n_bits: int | dict | None = None,
-                 n_queries: int = 8):
+                 n_queries: int = 8, rom_bits: int = 14,
+                 rom_include: tuple | None = None):
+        """rom_bits: trace domain for ROM-path batch proofs (the reference
+        fixes 2^23; the fork_9 ROM itself needs >= 2^14). rom_include: the
+        SM set of the combined batch AIR (None = combined.DEFAULT_INCLUDE
+        + the PoseidonG-complete padding_pg pipeline; pass a tuple with
+        "keccak"/"sha256" at rom_bits >= 18 for the gate pipelines)."""
         self.executor = Executor(n_bits=n_bits, n_queries=n_queries)
+        self.rom_bits = rom_bits
+        self.rom_include = rom_include
+        self._rom_provers: dict = {}
         self.metrics = TimeMetricStorage("prover")
         self._pending: list[ProverRequest] = []
         self._completed: dict[str, ProverRequest] = {}
@@ -181,7 +198,20 @@ class Prover:
     def gen_batch_proof(self, inp: ProofInput,
                         save_cm_pols: str | None = None) -> BatchProof:
         """save_cm_pols: checkpoint the executed commit pols to this path
-        before proving (reference config.zkevmCmPolsAfterExecutor)."""
+        before proving (reference config.zkevmCmPolsAfterExecutor).
+
+        A reference-schema input (batchL2Data / db present, no pre-cooked
+        action lists) takes the ROM path: execute the fork ROM full-trace
+        and prove Main + all co-SMs in ONE combined AIR with in-circuit
+        bindings and the chaining publics (reference genBatchProof,
+        prover.cpp:392-612). The legacy action-list path remains for the
+        synthetic pipeline tests."""
+        has_actions = any(
+            getattr(inp.actions, f.name)
+            for f in dataclasses.fields(inp.actions))
+        if not has_actions and (inp.publics.batch_l2_data not in ("", "0x")
+                                or inp.db):
+            return self._gen_batch_proof_rom(inp, save_cm_pols)
         with timer("EXECUTOR_EXECUTE_BATCH_PROOF", self.metrics, log=False):
             counters = self.executor.counters(inp.actions)
             traces = self.executor.execute(inp.actions)
@@ -200,6 +230,85 @@ class Prover:
             pub.new_state_root = pub.old_state_root
         return BatchProof(publics=pub, sm_proofs=sm_proofs,
                           counters=counters, actions=inp.actions)
+
+    def _rom_prover(self, fork_id: int, rom, include: tuple,
+                    keccak_cfg=None, sha256_cfg=None):
+        """Cached StarkProver over the combined batch AIR for one fork."""
+        from ..stark.prover import StarkProver
+        from ..stark.setup import StarkSetup
+        from ..executor import combined
+
+        key = (fork_id, self.rom_bits, tuple(include))
+        if key not in self._rom_provers:
+            air = combined.build_batch_air(
+                rom, self.rom_bits, include=include,
+                keccak_cfg=keccak_cfg, sha256_cfg=sha256_cfg)
+            self._rom_provers[key] = StarkProver(
+                StarkSetup(air, n_queries=self.executor.n_queries,
+                           fri_fold_bits=2))
+        return self._rom_provers[key]
+
+    def _gen_batch_proof_rom(self, inp: ProofInput,
+                             save_cm_pols: str | None = None) -> BatchProof:
+        """The spine: one combined-AIR proof of the full ROM execution.
+        Reference: Prover::genBatchProof = Executor::execute (all SMs into
+        one trace) + Starks::genProof (prover.cpp:392-612)."""
+        from ..executor import combined, forks
+        from ..hashdb.database import Database
+        from ..hashdb.smt import Smt
+
+        db = Database()
+        inp.seed_database(db)
+        smt = Smt(db)
+        fork_id = int(inp.publics.fork_id)
+        rom = forks.rom_for_fork(fork_id)
+        include = self.rom_include
+        if include is None:
+            include = combined.default_include(self.rom_bits)
+        kcfg = scfg = None
+        if "keccak" in include:
+            from ..executor.sm import keccak_circuit
+            kcfg = combined.keccak_pipeline_cfg(
+                keccak_circuit.build(24), 44, 11)
+        if "sha256" in include:
+            from ..executor.sm import sha256_circuit
+            scfg = combined.keccak_pipeline_cfg(
+                sha256_circuit.build(64), 44, 11)
+        prover = self._rom_prover(fork_id, rom, include, kcfg, scfg)
+
+        with timer("EXECUTOR_EXECUTE_BATCH_PROOF", self.metrics, log=False):
+            res, traces = combined.execute_batch(
+                rom, self.rom_bits, input=inp.executor_input(), smt=smt,
+                include=include, keccak_cfg=kcfg, sha256_cfg=scfg)
+        stacked = prover.setup.air.stack_traces(traces)
+        if save_cm_pols:
+            from . import checkpoint
+
+            checkpoint.save_commit_pols(
+                save_cm_pols, {"batch": stacked},
+                publics=dataclasses.asdict(inp.publics),
+                meta={"counters": dict(res.counters)})
+        with timer("STARK_PROOF_BATCH_PROOF", self.metrics, log=False):
+            proof = prover.prove(stacked)
+
+        # the chaining publics come OUT of the proof (reference publics
+        # layout, prover.cpp:494-560) — not from host bookkeeping
+        pub = dataclasses.replace(inp.publics)
+        pv = [int(x) for x in proof.publics]
+        pub.new_state_root = _fea_publics_hex(pv[19:27])
+        pub.new_acc_input_hash = _fea_publics_hex(pv[27:35])
+        pub.new_local_exit_root = _fea_publics_hex(pv[35:43])
+        pub.new_batch_num = pv[43]
+        expect_acc = inp.publics.acc_input_hash()
+        if pub.new_acc_input_hash != expect_acc:
+            raise RuntimeError(
+                f"proof newAccInputHash {pub.new_acc_input_hash} != "
+                f"recurrence {expect_acc}")
+        counters = dict(res.counters)
+        counters["steps"] = res.last_step
+        return BatchProof(publics=pub,
+                          sm_proofs={"batch": (prover, proof)},
+                          counters=counters, actions=res.actions, db=db)
 
     def gen_batch_proof_from_commit(self, path: str) -> BatchProof:
         """Resume proving from a commit-pols checkpoint — the STARK-only
@@ -240,7 +349,8 @@ class Prover:
                     "checkpoint?) — only a full gen_batch_proof result can "
                     "be compressed/finalized")
             with timer("STARK_RECURSIVE_F_PROOF", self.metrics, log=False):
-                bp.recursive = self.executor.prove_recursive(bp.actions)
+                bp.recursive = self.executor.prove_recursive(
+                    bp.actions, db=bp.db)
         return bp.recursive
 
     def aggregate_tree(self, proofs: list) -> "AggregatedProof | BatchProof":

@@ -139,12 +139,7 @@ class StarkProver:
             else np.zeros((s.n, 0), dtype=np.uint64)
         )
         self.const_n = self._shard(jnp.asarray(consts))
-        if consts.shape[1]:
-            self.const_2ns = self._extend(self.const_n)
-        else:
-            self.const_2ns = jnp.zeros((s.n_ext, 0), dtype=jnp.uint64)
-        self.const_tree = self.scheme.commit(self.const_2ns)
-        self.verkey = self.const_tree.root()
+        self._n_consts = consts.shape[1]
 
         # x and 1/Z_H on the extended coset (reference: x_2ns, ZhInv).
         # Built EAGERLY so the values are concrete before any phase traces
@@ -162,6 +157,23 @@ class StarkProver:
             zh = (sn * pow(wn, m, gl.P) - 1) % gl.P
             zi_vals.append(pow(zh, gl.P - 2, gl.P))
         self._zi_2ns = jnp.asarray(np.tile(np.array(zi_vals, np.uint64), s.n))
+
+    # -- preprocessed commitment (lazy: quick constraint checks and pure
+    # verification paths never need the const LDE + Merkle) ------------------
+
+    @functools.cached_property
+    def const_2ns(self):
+        if not self._n_consts:
+            return jnp.zeros((self.setup.n_ext, 0), dtype=jnp.uint64)
+        return self._extend(self.const_n)
+
+    @functools.cached_property
+    def const_tree(self):
+        return self.scheme.commit(self.const_2ns)
+
+    @property
+    def verkey(self):
+        return self.const_tree.root()
 
     # -- sharding ------------------------------------------------------------
 
@@ -219,7 +231,7 @@ class StarkProver:
         return jax.jit(lambda v: nttmod.extend_pol(v, s.n_bits, s.n_bits_ext))
 
     @functools.cached_property
-    def _phase2_fn(self):
+    def _phase2_run(self):
         s = self.setup
 
         def run(cm1_n, const_n, challenges, publics):
@@ -240,12 +252,17 @@ class StarkProver:
                 if cols
                 else jnp.zeros((s.n, w2), jnp.uint64)
             )
-            return cm2, jnp.all(jnp.array(oks)) if oks else jnp.bool_(True)
+            return cm2, (jnp.array(oks) if oks
+                         else jnp.ones((0,), jnp.bool_))
 
-        return jax.jit(run)
+        return run
 
     @functools.cached_property
-    def _phase3_fn(self):
+    def _phase2_fn(self):
+        return jax.jit(self._phase2_run)
+
+    @functools.cached_property
+    def _phase3_run(self):
         s = self.setup
 
         def run(cm1_n, cm2_n, const_n, challenges, publics):
@@ -265,7 +282,11 @@ class StarkProver:
                 else jnp.zeros((s.n, w3), jnp.uint64)
             )
 
-        return jax.jit(run)
+        return run
+
+    @functools.cached_property
+    def _phase3_fn(self):
+        return jax.jit(self._phase3_run)
 
     @functools.cached_property
     def _phase4_fn(self):
@@ -356,9 +377,7 @@ class StarkProver:
         return jax.jit(run)
 
     @functools.cached_property
-    def _check_fn(self):
-        """All constraints evaluated in ONE jitted program -> (nC,) maxima.
-        (One jit per constraint would dominate wall-clock at trace time.)"""
+    def _check_run(self):
         s = self.setup
 
         def run(cm1_n, cm2_n, cm3_n, const_n, challenges, publics):
@@ -370,18 +389,49 @@ class StarkProver:
                 [jnp.max(ex.eval_array(c, b)) for c in s.constraints]
             )
 
-        return jax.jit(run)
+        return run
 
-    def check_constraints(self, cm1_values, publics=None) -> list[int]:
+    @functools.cached_property
+    def _check_fn(self):
+        """All constraints evaluated in ONE jitted program -> (nC,) maxima.
+        (One jit per constraint would dominate wall-clock at trace time.)"""
+        return jax.jit(self._check_run)
+
+    def check_constraints(self, cm1_values, publics=None,
+                          quick: bool = False) -> list[int]:
         """Diagnostic: run phases 1-3 and evaluate every constraint on the
         trace domain; returns indices of violated constraints (empty = ok).
         The role of the reference's zkassert in calculateZ
-        (polinomial.hpp:606) and of proverjs pol checks."""
+        (polinomial.hpp:606) and of proverjs pol checks.
+
+        quick=True uses fixed pseudo-random challenges instead of the real
+        transcript, skipping the LDE + Merkle commits entirely — identities
+        that hold for the honest transcript hold identically in the
+        challenge variables, so this is a sound satisfiability check (and
+        the form forgery tests want: seconds, not minutes)."""
         s = self.setup
         cm1_n = self._shard(jnp.asarray(cm1_values, dtype=jnp.uint64))
         if publics is None:
             publics = [int(cm1_values[row, cid]) for (_, cid, row) in s.air.publics]
         publics_dev = jnp.asarray(np.array(publics, dtype=np.uint64))
+
+        if quick:
+            # eager (unjitted) evaluation: per-op dispatch beats minutes of
+            # XLA compile for a one-shot diagnostic over a huge AIR
+            rng = np.random.default_rng(0xC0FFEE)
+            challenges = rng.integers(
+                1, (1 << 63), size=(8, 3)).astype(np.uint64)
+            cm2_n, lookups_ok = self._phase2_run(
+                cm1_n, self.const_n, jnp.asarray(challenges), publics_dev)
+            cm3_n = self._phase3_run(cm1_n, cm2_n, self.const_n,
+                                     jnp.asarray(challenges), publics_dev)
+            maxima = np.asarray(
+                self._check_run(cm1_n, cm2_n, cm3_n, self.const_n,
+                                jnp.asarray(challenges), publics_dev))
+            bad: list = [i for i, v in enumerate(maxima) if int(v) != 0]
+            bad += [f"plookup:{i}" for i, v in
+                    enumerate(np.asarray(lookups_ok)) if not bool(v)]
+            return bad
 
         transcript = self.scheme.Transcript()
         transcript.put(self.scheme.root_ints(self.verkey))
@@ -408,8 +458,8 @@ class StarkProver:
                            jnp.asarray(challenges), publics_dev)
         )
         bad: list = [i for i, v in enumerate(maxima) if int(v) != 0]
-        if not bool(lookups_ok):
-            bad.append("plookup")  # some f tuple is not in its t table
+        bad += [f"plookup:{i}" for i, v in
+                enumerate(np.asarray(lookups_ok)) if not bool(v)]
         return bad
 
     # -- main entry ------------------------------------------------------------
@@ -442,6 +492,7 @@ class StarkProver:
         challenges[1] = transcript.get_field3()
         ch = jnp.asarray(challenges)
         cm2_n, ok = self._phase2_fn(cm1_n, self.const_n, ch, publics_dev)
+        ok = jnp.all(ok)
         if not bool(ok):
             raise ValueError("plookup violation: f value not present in t")
         cm2_2ns = self._extend(cm2_n) if s.section_width[2] else jnp.zeros(
