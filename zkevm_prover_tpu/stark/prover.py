@@ -38,6 +38,7 @@ from ..ops import gl3
 from ..ops import goldilocks as gl
 from ..ops import merkle
 from ..ops import ntt as nttmod
+from ..ops import refmodel as rm
 from ..ops import transcript as tr
 from . import expr as ex
 from . import fri as frimod
@@ -268,10 +269,25 @@ class StarkProver:
         def run(cm1_n, cm2_n, const_n, challenges, publics):
             sections = {1: cm1_n, 2: cm2_n}
             x_n = nttmod.geometric_powers(gl.w(s.n_bits), s.n)
-            b = self._bindings(sections, const_n, challenges, publics,
-                               ext=False, x=x_n)
+            aux_vals: dict = {}
+
+            def cm_bind(cid):
+                if cid in aux_vals:
+                    return aux_vals[cid]
+                return self._col(sections, cid)
+
+            b = ex.ArrayBindings(
+                cm=cm_bind, const=lambda cid: const_n[:, cid],
+                challenges=challenges, publics=publics, x=x_n,
+                prime_stride=1)
             cols = []
             for plan in s.lookups + s.permutations + s.connections:
+                # wide-connection partial products precede their z
+                for cid, e in getattr(plan, "aux", []):
+                    v = ex.eval_array(e, b)
+                    v = v if v.ndim == 2 else gl3.from_base(v)
+                    aux_vals[cid] = v
+                    cols.append(v)
                 num = ex.eval_array(plan.num, b)
                 den = ex.eval_array(plan.den, b)
                 cols.append(calculate_z(num, den))
@@ -288,17 +304,44 @@ class StarkProver:
     def _phase3_fn(self):
         return jax.jit(self._phase3_run)
 
+    # combined-constraint evaluation is CHUNKED: a production batch AIR has
+    # ~1000 constraints whose single fused XLA graph materializes tens of
+    # thousands of (NExt, 3) intermediates — the chunks bound live memory
+    # (one compiled program per chunk, accumulated with host QC powers)
+    _C_CHUNK = 48
+
     @functools.cached_property
-    def _phase4_fn(self):
+    def _phase4_chunk_fns(self):
+        s = self.setup
+        groups = [s.constraints[i:i + self._C_CHUNK]
+                  for i in range(0, len(s.constraints), self._C_CHUNK)]
+        fns = []
+        for g in groups:
+            comb = None
+            for c in g:
+                comb = c if comb is None else comb * ex.Challenge(4) + c
+
+            def run(cm1, cm2, cm3, const_2ns, challenges, publics, acc,
+                    qc_pow, _comb=comb):
+                sections = {1: cm1, 2: cm2, 3: cm3}
+                b = self._bindings(sections, const_2ns, challenges, publics,
+                                   ext=True, x=self.x_2ns(),
+                                   zi=self.zi_2ns())
+                v = ex.eval_array(_comb, b)
+                if v.ndim == 1:
+                    v = gl3.from_base(v)
+                return gl3.add(
+                    gl3.mul(acc, jnp.broadcast_to(qc_pow, acc.shape)), v)
+
+            fns.append((jax.jit(run), len(g)))
+        return fns
+
+    @functools.cached_property
+    def _phase4_finish_fn(self):
         s = self.setup
 
-        def run(cm1_2ns, cm2_2ns, cm3_2ns, const_2ns, challenges, publics):
-            sections = {1: cm1_2ns, 2: cm2_2ns, 3: cm3_2ns}
-            b = self._bindings(sections, const_2ns, challenges, publics,
-                               ext=True, x=self.x_2ns(), zi=self.zi_2ns())
-            q = ex.eval_array(s.c_exp, b)  # (NExt, 3)
-            if q.ndim == 1:
-                q = gl3.from_base(q)
+        def run(c_val):
+            q = gl3.mul(c_val, gl3.from_base(self.zi_2ns()))
             # split q into qDeg degree-<N polys, each evaluated on the coset
             # (reference: INTT -> per-chunk shift^{-pN} scale -> NTT,
             #  starks.cpp:262-287)
@@ -314,6 +357,18 @@ class StarkProver:
             return jnp.concatenate(chunks, axis=1)  # (NExt, 3*qDeg)
 
         return jax.jit(run)
+
+    def _phase4_fn(self, cm1_2ns, cm2_2ns, cm3_2ns, const_2ns, challenges,
+                   publics):
+        s = self.setup
+        qc = tuple(int(v) for v in np.asarray(challenges)[4])
+        acc = jnp.zeros((s.n_ext, 3), jnp.uint64)
+        for fn, glen in self._phase4_chunk_fns:
+            qc_pow = jnp.asarray(
+                np.array(rm.pow3(qc, glen), dtype=np.uint64))
+            acc = fn(cm1_2ns, cm2_2ns, cm3_2ns, const_2ns, challenges,
+                     publics, acc, qc_pow)
+        return self._phase4_finish_fn(acc)
 
     def _ntt_ext(self, v, *, inverse: bool):
         """NTT/INTT on the extended domain — distributed under a mesh."""

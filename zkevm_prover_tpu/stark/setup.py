@@ -63,6 +63,10 @@ class GrandProductPlan:  # permutation / connection
     z_id: int
     num: ex.Expr
     den: ex.Expr
+    # partial-product columns [(col_id, defining expr)] — wide connection
+    # arguments (PLONK wire counts > 3) chunk their factor products into
+    # stage-3 committed columns so the z transition stays low-degree
+    aux: list = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass
@@ -140,17 +144,36 @@ class StarkSetup:
             self.permutations.append(GrandProductPlan(z, num, den))
 
         self.connections: list[GrandProductPlan] = []
+        CHUNK = 3  # factors folded per partial product (keeps degree <= 4)
         for ci, cn in enumerate(airdef.connections):
             assert len(cn.pols) == len(cn.sigmas)
-            num_f, den_f = None, None
+            fn_list, fd_list = [], []
             for i, (p, s) in enumerate(zip(cn.pols, cn.sigmas)):
                 k_i = pow(gl.shift(), i, gl.P)
-                nf = p + BETTA * (ex.X() * k_i) + GAMMA
-                df = p + BETTA * s + GAMMA
-                num_f = nf if num_f is None else num_f * nf
-                den_f = df if den_f is None else den_f * df
+                fn_list.append(p + BETTA * (ex.X() * k_i) + GAMMA)
+                fd_list.append(p + BETTA * s + GAMMA)
+
+            def _prod(fs):
+                e = fs[0]
+                for f in fs[1:]:
+                    e = e * f
+                return e
+
+            aux: list = []
+            if len(fn_list) <= CHUNK:
+                num_f, den_f = _prod(fn_list), _prod(fd_list)
+            else:
+                num_parts, den_parts = [], []
+                for off in range(0, len(fn_list), CHUNK):
+                    for fs, parts, tag in (
+                            (fn_list[off:off + CHUNK], num_parts, "n"),
+                            (fd_list[off:off + CHUNK], den_parts, "d")):
+                        cid = new_col(3, 3, f"ci{ci}.pp{tag}{off}", w3)
+                        aux.append((cid, _prod(fs)))
+                        parts.append(ex.Cm(cid))
+                num_f, den_f = _prod(num_parts), _prod(den_parts)
             z = new_col(3, 3, f"ci{ci}.z", w3)
-            self.connections.append(GrandProductPlan(z, num_f, den_f))
+            self.connections.append(GrandProductPlan(z, num_f, den_f, aux))
 
         # ---- constraint list (user identities + argument identities) ------
         l1 = airdef.lagrange_first()
@@ -160,6 +183,8 @@ class StarkSetup:
             self.constraints.append(l1 * (zc - 1))
             self.constraints.append(zp * plan.den - zc * plan.num)
         for plan in self.permutations + self.connections:
+            for cid, e in plan.aux:
+                self.constraints.append(ex.Cm(cid) - e)
             zc, zp = ex.Cm(plan.z_id), ex.Cm(plan.z_id, True)
             self.constraints.append(l1 * (zc - 1))
             self.constraints.append(zp * plan.den - zc * plan.num)
