@@ -21,17 +21,19 @@ the phase's two physical lower bounds (BASELINE.md target: >= 0.90):
     tree levels     ~2N/8 hashes of 8B*8  ~0.3 D
     total ~ 10.3 * D,   D = N * C * 8 bytes          (~14 ms here)
 
-  VPU compute bound (Poseidon dominates this phase):
+  Poseidon compute bound (dominates this phase):
     perms = 2N * ceil(C/8)  leaf sponge  +  ~2N  tree levels
-    one width-12 permutation in u32-limb arithmetic is ~14k VPU ops
-    (30 rounds: full s-box 12 lanes x 8 + partial 22, 30 MDS 12x12;
-    GL mul ~10 ops, add ~4 — tools/measure_baseline.py derivation);
-    v5e peak ~1.97e11 int32 op/s -> ~14.1M perms/s    (~2.7 s here)
+    bounded by the MEASURED standalone Pallas kernel rate on this chip
+    (tools/measure_baseline.py poseidon_perms_2e20: 15.6M perms/s —
+    itself ~VPU-limited: one width-12 permutation is ~12-14k u32 VPU
+    ops: 30 rounds, full s-box 12 lanes x 8 + partial 22, 30 circulant
+    MDS 12x12). The phase cannot hash faster than its own kernel, so
+    perms / kernel_rate is a sound speed-of-light floor (~2.4 s here).
 
-The phase is Poseidon-compute-bound: the VPU bound is the binding one,
-and vs_baseline reports time_bound_vpu... / measured (HBM shown for
-reference in the derivation only). The reference repo publishes no
-numbers of its own (BASELINE.md: published {}).
+The phase is Poseidon-compute-bound: vs_baseline = binding_bound /
+measured, with the HBM bound (14 ms) shown in the derivation only. The
+reference repo publishes no numbers of its own (BASELINE.md:
+published {}).
 """
 
 import json
@@ -45,8 +47,8 @@ N_BITS_EXT = 22
 N_COLS = 64
 HBM_GBPS = 819.0        # v5e single-chip HBM bandwidth
 TRAFFIC_FACTOR = 10.3   # HBM passes over the trace bytes (derivation above)
-VPU_OPS_PER_S = 1.97e11  # v5e VPU int32 ops/s (tools/measure_baseline.py)
-OPS_PER_PERM = 14000.0   # u32-limb Poseidon permutation cost
+PERM_RATE = 15.6e6      # measured standalone kernel perms/s on this chip
+#                         (tools/measure_baseline.py poseidon_perms_2e20)
 
 
 def main() -> None:
@@ -76,7 +78,7 @@ def main() -> None:
     t_hbm = TRAFFIC_FACTOR * d_bytes / (HBM_GBPS * 1e9)
     n_ext = 1 << N_BITS_EXT
     perms = n_ext * (-(-N_COLS // 8)) + n_ext  # leaf sponge + tree levels
-    t_vpu = perms / (VPU_OPS_PER_S / OPS_PER_PERM)
+    t_vpu = perms / PERM_RATE
     t_bound = max(t_hbm, t_vpu)  # the BINDING roofline
     mrow_s = n_ext / best / 1e6
     print(json.dumps({

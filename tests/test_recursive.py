@@ -134,9 +134,13 @@ def test_recursive2_pair_join():
     opv = rp.outer_prover
 
     r2 = Recursive2Prover(
-        opv.setup, n_bits=15,
+        opv.setup, opv.verkey, n_bits=15,
         join_publics=lambda p1, p2: [p1[0], p2[0]],
         chain=[], n_queries=4)
-    outer = r2.prove_pair(opv.verkey, r1a.proof, r1b.proof)
+    outer = r2.prove_pair(r1a.proof, opv.verkey, r1b.proof, opv.verkey)
     o2 = r2.outer_prover
     assert verify(o2.setup, o2.verkey, outer)
+    # the vk public carries recursive2's own verkey (the reference's
+    # publics[44..47] invariant) — the closure point of the tree
+    got_vk = [int(v) for v in outer.publics[-4:]]
+    assert got_vk == [int(v) for v in np.ravel(np.asarray(o2.verkey))]

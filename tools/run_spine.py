@@ -32,8 +32,20 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--platform", default="cpu")
     ap.add_argument("--queries", type=int, default=8)
+    ap.add_argument("--include", default=None,
+                    help="comma-separated SM include set (default: "
+                    "combined.default_include(bits)); 'keccak' pulls the "
+                    "full 24-round gate pipeline (needs bits >= 18)")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="row-shard the prover over an N-device mesh "
+                    "(virtual CPU devices; proof must be bit-identical "
+                    "to the single-chip artifact)")
     args = ap.parse_args()
 
+    if args.mesh:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.mesh}").strip()
     import jax
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
@@ -54,7 +66,14 @@ def main():
     os.makedirs(out, exist_ok=True)
 
     t0 = time.time()
-    pv = Prover(rom_bits=args.bits, n_queries=args.queries)
+    mesh = None
+    if args.mesh:
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.array(jax.devices()[:args.mesh]), ("row",))
+    include = tuple(args.include.split(",")) if args.include else None
+    pv = Prover(rom_bits=args.bits, n_queries=args.queries, mesh=mesh,
+                rom_include=include)
     inp = ProofInput.from_file(args.vector)
     t_setup = time.time() - t0
 
@@ -90,6 +109,7 @@ def main():
         },
         "counters": {k: int(v) for k, v in bp.counters.items()},
         "platform": args.platform,
+        "mesh": args.mesh,
         "timings_s": {"setup": round(t_setup, 2),
                       "prove": round(t_prove, 2),
                       "verify": round(t_verify, 2)},

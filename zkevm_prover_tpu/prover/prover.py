@@ -5,16 +5,22 @@ served by a proverThread (prover.cpp:182-260), genBatchProof (:392),
 genAggregatedProof with publics-chaining checks (:676, :700-740),
 genFinalProof SNARK wrap (:827), processBatch fast path (:351).
 
-Pipeline status in this framework:
-  genBatchProof       executor -> per-SM eSTARK proofs (TPU) + publics
-  genAggregatedProof  publics chaining checks + pairwise join — the binary
-                      aggregation-tree orchestration of the reference; the
-                      payload carries both children until the recursive
-                      verifier circuit lands (roadmap: SURVEY.md §7.2 step 8),
-                      so verification verifies every leaf STARK.
-  genFinalProof       Groth16 (BN254) attestation binding the aggregated
-                      publics digest — the rapidsnark stage shape; in-circuit
-                      STARK verification is the same roadmap item.
+Two aggregation pipelines:
+
+  * RECURSIVE (the reference architecture, constant size):
+    gen_batch_proof (ROM path: ONE combined-AIR proof with publics)
+      -> wrap_batch_recursive   (recursive1: the batch proof verified
+                                 inside a fixed-shape recursive STARK)
+      -> aggregate_recursive    (recursive2: binary tree of 2->1 joins
+                                 with in-circuit publics chaining; output
+                                 shape == input shape, ONE setup)
+      -> gen_final_proof_recursive (recursiveF: the root trace re-proven
+                                 under BN128 commitments + ONE fixed
+                                 Groth16 over its verifier circuit)
+
+  * LEGACY (pre-recursion, carries children verbatim): the
+    gen_aggregated_proof / gen_final_proof[_stark] path kept for the
+    synthetic action-list pipeline and the digest-circuit wrap.
 """
 
 from __future__ import annotations
@@ -55,6 +61,42 @@ class AggregatedProof:
     children: list             # [BatchProof | AggregatedProof]
 
 
+# the reference publics layout (prover.cpp:494-560): index ranges used for
+# recursive2 chaining
+_PUB_OLD_ROOT = range(0, 8)
+_PUB_OLD_ACC = range(8, 16)
+_PUB_OLD_BATCH = 16
+_PUB_CHAIN_ID = 17
+_PUB_FORK = 18
+_PUB_NEW_ROOT = range(19, 27)
+_PUB_NEW_ACC = range(27, 35)
+_PUB_NEW_LER = range(35, 43)
+_PUB_NEW_BATCH = 43
+
+RECURSIVE2_CHAIN = (
+    [(19 + j, 0 + j) for j in range(8)]      # newStateRoot == oldStateRoot'
+    + [(27 + j, 8 + j) for j in range(8)]    # newAccInputHash chains
+    + [(43, 16), (17, 17), (18, 18)]         # batchNum / chainId / forkId
+)
+
+
+def _recursive2_join(p1_sigs, p2_sigs):
+    """Joined 44 publics: the left proof's old side + the right's new."""
+    return p1_sigs[0:19] + p2_sigs[19:44]
+
+
+@dataclasses.dataclass
+class RecursiveNode:
+    """One node of the recursive aggregation tree (recursive1 leaf wrap
+    or a recursive2 join) — constant size regardless of subtree width."""
+    proof: object              # outer GL-scheme StarkProof (48 publics)
+    verkey: object             # the outer circuit's const root (4 GL)
+    publics: PublicInputs
+    kind: str                  # "r1" | "r2"
+    wrap_args: tuple = None    # what re-synthesizes this node's circuit
+    #                            (the recursiveF BN128 re-proof needs it)
+
+
 @dataclasses.dataclass
 class FinalProof:
     publics: PublicInputs
@@ -77,7 +119,7 @@ class ProverRequest:
 class Prover:
     def __init__(self, n_bits: int | dict | None = None,
                  n_queries: int = 8, rom_bits: int = 14,
-                 rom_include: tuple | None = None):
+                 rom_include: tuple | None = None, mesh=None):
         """rom_bits: trace domain for ROM-path batch proofs (the reference
         fixes 2^23; the fork_9 ROM itself needs >= 2^14). rom_include: the
         SM set of the combined batch AIR (None = combined.DEFAULT_INCLUDE
@@ -86,6 +128,7 @@ class Prover:
         self.executor = Executor(n_bits=n_bits, n_queries=n_queries)
         self.rom_bits = rom_bits
         self.rom_include = rom_include
+        self.mesh = mesh            # row-shard ROM-path batch proofs
         self._rom_provers: dict = {}
         self.metrics = TimeMetricStorage("prover")
         self._pending: list[ProverRequest] = []
@@ -245,7 +288,7 @@ class Prover:
                 keccak_cfg=keccak_cfg, sha256_cfg=sha256_cfg)
             self._rom_provers[key] = StarkProver(
                 StarkSetup(air, n_queries=self.executor.n_queries,
-                           fri_fold_bits=2))
+                           fri_fold_bits=2), mesh=self.mesh)
         return self._rom_provers[key]
 
     def _gen_batch_proof_rom(self, inp: ProofInput,
@@ -386,6 +429,155 @@ class Prover:
         pub.new_batch_num = b.new_batch_num
         pub.new_local_exit_root = b.new_local_exit_root
         return AggregatedProof(publics=pub, children=[p1, p2])
+
+    # -- recursive aggregation (recursive1/recursive2 roles) ----------------
+
+    def _recursive1(self, batch_prover, rec_bits: int):
+        from ..stark.recursive import RecursiveProver
+
+        if getattr(self, "_r1", None) is None:
+            self._r1 = RecursiveProver(
+                batch_prover.setup, n_bits=rec_bits,
+                n_queries=self.executor.n_queries)
+        return self._r1
+
+    def _recursive2(self, child_setup, r1_verkey, rec_bits: int):
+        from ..stark.recursive import Recursive2Prover
+
+        if getattr(self, "_r2", None) is None:
+            self._r2 = Recursive2Prover(
+                child_setup, r1_verkey, n_bits=rec_bits,
+                join_publics=_recursive2_join, chain=RECURSIVE2_CHAIN,
+                n_queries=self.executor.n_queries)
+        return self._r2
+
+    def wrap_batch_recursive(self, bp: BatchProof,
+                             rec_bits: int = 18) -> RecursiveNode:
+        """recursive1: the ROM-path batch proof verified inside a fixed-
+        shape recursive STARK (reference STARK_RECURSIVE_1_PROOF,
+        prover.cpp:612-660)."""
+        prover, proof = bp.sm_proofs["batch"]
+        r1 = self._recursive1(prover, rec_bits)
+        with timer("STARK_RECURSIVE_1_PROOF", self.metrics, log=False):
+            rec = r1.prove_one(prover.verkey, proof)
+        return RecursiveNode(proof=rec.proof,
+                             verkey=r1.outer_prover.verkey,
+                             publics=bp.publics, kind="r1",
+                             wrap_args=(prover.verkey, proof))
+
+    def aggregate_recursive(self, nodes: list, rec_bits: int = 18
+                            ) -> RecursiveNode:
+        """Binary-tree recursive2 reduction: any number of chained nodes
+        -> ONE constant-size proof under ONE circuit (reference
+        genAggregatedProof + recursive2, prover.cpp:676-800)."""
+        assert nodes, "nothing to aggregate"
+        layer = list(nodes)
+        r1pv = self._r1.outer_prover
+        r2 = self._recursive2(r1pv.setup, r1pv.verkey, rec_bits)
+        while len(layer) > 1:
+            nxt = []
+            for i in range(0, len(layer) - 1, 2):
+                a, b = layer[i], layer[i + 1]
+                if a.publics.new_state_root != b.publics.old_state_root:
+                    raise ValueError("aggregation: state roots do not chain")
+                with timer("STARK_RECURSIVE_2_PROOF", self.metrics,
+                           log=False):
+                    proof = r2.prove_pair(a.proof, a.verkey,
+                                          b.proof, b.verkey)
+                pub = dataclasses.replace(a.publics)
+                pub.new_state_root = b.publics.new_state_root
+                pub.new_acc_input_hash = b.publics.new_acc_input_hash
+                pub.new_batch_num = b.publics.new_batch_num
+                pub.new_local_exit_root = b.publics.new_local_exit_root
+                nxt.append(RecursiveNode(
+                    proof=proof, verkey=r2.outer_prover.verkey,
+                    publics=pub, kind="r2",
+                    wrap_args=(a.proof, a.verkey, b.proof, b.verkey)))
+            if len(layer) % 2:
+                nxt.append(layer[-1])
+            layer = nxt
+        return layer[0]
+
+    def verify_recursive(self, node: RecursiveNode) -> bool:
+        import numpy as np
+
+        pv = (self._r2 if node.kind == "r2" else self._r1).outer_prover
+        if not stark_verify(pv.setup, pv.verkey, node.proof):
+            return False
+        pubs = [int(v) for v in node.proof.publics]
+        if _fea_publics_hex(pubs[0:8]) != node.publics.old_state_root:
+            return False
+        if _fea_publics_hex(pubs[19:27]) != node.publics.new_state_root:
+            return False
+        if node.kind == "r2":
+            # publics[44..47] must be recursive2's OWN verkey — the
+            # tree-closure invariant (reference prover.cpp:556-560)
+            own = [int(v) for v in np.ravel(np.asarray(pv.verkey))]
+            if pubs[44:48] != own:
+                return False
+        return True
+
+    def gen_final_proof_recursive(self, node: RecursiveNode) -> FinalProof:
+        """The recursiveF + final roles: the root recursive trace is
+        re-proven under the BN128 commitment scheme and THAT proof is
+        verified inside ONE fixed Groth16 circuit (reference
+        starkRecursiveF + final.circom, prover.cpp:827-940). Constant
+        size for any aggregation width; one setup per node kind."""
+        from ..snark import stark_verifier_circuit as svc
+        from ..stark.prover import StarkProver
+        from ..stark.setup import StarkSetup
+
+        if node.kind == "r2":
+            r2 = self._r2
+            a_proof, a_vk, b_proof, b_vk = node.wrap_args
+            s = r2._synth_pair(a_proof, a_vk, b_proof, b_vk,
+                               r2.outer_prover.verkey)
+            cc = r2._compiled[0]
+        else:
+            s = self._r1._synth(*node.wrap_args)
+            cc = self._r1._compiled[0]
+        stacked = cc.air.stack_traces(cc.trace(s))
+        if not hasattr(self, "_rf"):
+            self._rf = {}
+        if node.kind not in self._rf:
+            self._rf[node.kind] = StarkProver(StarkSetup(
+                cc.air, n_queries=self.executor.n_queries,
+                fri_fold_bits=2, hash_type="BN128"))
+        rf = self._rf[node.kind]
+        with timer("STARK_RECURSIVE_F_PROOF", self.metrics, log=False):
+            bn_proof = rf.prove(stacked)
+        with timer("STARK_FINAL_CIRCUIT", self.metrics, log=False):
+            r1cs, w, pubs = svc.build(rf.setup, rf.verkey, bn_proof)
+        if not hasattr(self, "_final_rec_g16"):
+            self._final_rec_g16 = {}
+        if node.kind not in self._final_rec_g16:
+            self._final_rec_g16[node.kind] = groth16_setup(r1cs)
+        g16 = self._final_rec_g16[node.kind]
+        digest = self.publics_digest(node.publics)
+        with timer("RAPID_SNARK", self.metrics, log=False):
+            proof = groth16_prove(g16, w)
+        proof = {"system": "groth16-recursive", "kind": node.kind, **proof}
+        return FinalProof(publics=node.publics, groth16=proof,
+                          publics_digest=digest, stark_publics=pubs)
+
+    def verify_final_proof_recursive(self, fp: FinalProof) -> bool:
+        if fp.publics_digest != self.publics_digest(fp.publics):
+            return False
+        kind = fp.groth16.get("kind")
+        if kind not in getattr(self, "_final_rec_g16", {}):
+            return False
+        rf = self._rf[kind]
+        # the circuit publics open with the recursiveF verkey, and the
+        # batch publics ride inside the STARK publics section
+        if fp.stark_publics[0] != int(rf.verkey):
+            return False
+        pubs = [int(v) for v in fp.stark_publics[1:45]]
+        if _fea_publics_hex(pubs[0:8]) != fp.publics.old_state_root:
+            return False
+        if _fea_publics_hex(pubs[19:27]) != fp.publics.new_state_root:
+            return False
+        return groth16_verify(self._final_rec_g16[kind], fp.stark_publics,
+                              fp.groth16)
 
     # -- final SNARK wrap ---------------------------------------------------------
 

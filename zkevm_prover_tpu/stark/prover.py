@@ -411,11 +411,58 @@ class StarkProver:
 
         return jax.jit(run)
 
+    # FRI-polynomial evaluation is chunked like phase 4: a big AIR's evMap
+    # (1000s of entries) fused into one graph materializes too many
+    # (NExt, 3) intermediates on a CPU host
+    _EV_CHUNK = 192
+
     @functools.cached_property
-    def _phase5_fri_fn(self):
+    def _phase5_fri_chunk_fns(self):
+        s = self.setup
+        V1, V2 = ex.Challenge(5), ex.Challenge(6)
+        entries = list(enumerate(s.ev_map))
+        groups = [entries[i:i + self._EV_CHUNK]
+                  for i in range(0, len(entries), self._EV_CHUNK)]
+        fns = []
+        for g in groups:
+            e1 = e2 = None
+            a = b_cnt = 0
+            for k, e in g:
+                leaf = ex.Cm(e.id) if e.type == "cm" else ex.Const(e.id)
+                term = leaf - ex.Eval(k)
+                if e.prime:
+                    e2 = term if e2 is None else e2 * V2 + term
+                    b_cnt += 1
+                else:
+                    e1 = term if e1 is None else e1 * V1 + term
+                    a += 1
+
+            def run(sections_2ns, const_2ns, challenges, publics, evals,
+                    acc1, acc2, v1p, v2p, _e1=e1, _e2=e2):
+                bnd = self._bindings(sections_2ns, const_2ns, challenges,
+                                     publics, ext=True, x=self.x_2ns(),
+                                     zi=self.zi_2ns(), evals=evals)
+                shape = acc1.shape
+                if _e1 is not None:
+                    v = ex.eval_array(_e1, bnd)
+                    v = v if v.ndim == 2 else gl3.from_base(v)
+                    acc1 = gl3.add(
+                        gl3.mul(acc1, jnp.broadcast_to(v1p, shape)), v)
+                if _e2 is not None:
+                    v = ex.eval_array(_e2, bnd)
+                    v = v if v.ndim == 2 else gl3.from_base(v)
+                    acc2 = gl3.add(
+                        gl3.mul(acc2, jnp.broadcast_to(v2p, shape)), v)
+                return acc1, acc2
+
+            fns.append((jax.jit(run), a, b_cnt))
+        return fns
+
+    @functools.cached_property
+    def _phase5_fri_finish_fn(self):
         s = self.setup
 
-        def run(sections_2ns, const_2ns, challenges, publics, evals):
+        def run(challenges, acc1, acc2):
             x = self.x_2ns()
             xi3 = challenges[7]
             wxi3 = gl3.mul_base(xi3, jnp.uint64(gl.w(s.n_bits)))
@@ -423,13 +470,24 @@ class StarkProver:
             xws = gl3.sub(gl3.from_base(x), jnp.broadcast_to(wxi3, (s.n_ext, 3)))
             xdxx = gl3.mul_base(gl3.batch_inverse(xs, axis=0), x)
             xdwx = gl3.mul_base(gl3.batch_inverse(xws, axis=0), x)
-            b = self._bindings(sections_2ns, const_2ns, challenges, publics,
-                               ext=True, x=x, zi=self.zi_2ns(),
-                               xdxx=xdxx, xdwx=xdwx, evals=evals)
-            f = ex.eval_array(s.fri_exp, b)
-            return f if f.ndim == 2 else gl3.from_base(f)
+            return gl3.add(gl3.mul(acc1, xdxx), gl3.mul(acc2, xdwx))
 
         return jax.jit(run)
+
+    def _phase5_fri_fn(self, sections_2ns, const_2ns, challenges, publics,
+                       evals):
+        s = self.setup
+        ch = np.asarray(challenges)
+        v1 = tuple(int(v) for v in ch[5])
+        v2 = tuple(int(v) for v in ch[6])
+        acc1 = jnp.zeros((s.n_ext, 3), jnp.uint64)
+        acc2 = jnp.zeros((s.n_ext, 3), jnp.uint64)
+        for fn, a, b_cnt in self._phase5_fri_chunk_fns:
+            v1p = jnp.asarray(np.array(rm.pow3(v1, a), dtype=np.uint64))
+            v2p = jnp.asarray(np.array(rm.pow3(v2, b_cnt), dtype=np.uint64))
+            acc1, acc2 = fn(sections_2ns, const_2ns, challenges, publics,
+                            evals, acc1, acc2, v1p, v2p)
+        return self._phase5_fri_finish_fn(challenges, acc1, acc2)
 
     @functools.cached_property
     def _check_run(self):

@@ -528,18 +528,27 @@ class RecursiveProver:
 
 
 class Recursive2Prover:
-    """The recursive2 role: ONE fixed circuit verifying TWO proofs of one
-    shape, with publics chaining — applied pairwise it aggregates any
-    number of batch proofs into a constant-size artifact under one setup.
+    """The recursive2 role: ONE fixed circuit verifying TWO child proofs
+    of the recursive shape, with publics chaining — applied pairwise it
+    aggregates any number of batch proofs into a constant-size artifact
+    under one setup (reference recursive2.circom, prover.cpp:676-800).
 
-    chain: [(idx_in_p1_publics, idx_in_p2_publics)] equalities, plus the
-    joined publics layout [p1.publics[head], p2.publics[tail], verkey]
-    fixed by `join_publics`."""
+    Each child's verkey is constrained in-circuit to be EITHER the
+    recursive1 verkey (a circuit constant) OR the `vk` PUBLIC — the
+    caller passes this circuit's OWN verkey there, so recursive2 outputs
+    feed recursive2 inputs and the tree closes (the reference's
+    publics[44..47] = recursive2Verkey role). Both r1 and r2 circuits
+    share the 48-public layout, so their proofs are shape-identical and
+    ONE circuit covers every tree level.
 
-    def __init__(self, inner_setup, n_bits: int,
+    chain: [(idx_in_p1_publics, idx_in_p2_publics)] equalities;
+    join_publics(p1_sigs, p2_sigs) -> the joined publics signals (44)."""
+
+    def __init__(self, child_setup, r1_verkey, n_bits: int,
                  join_publics, chain: list[tuple[int, int]],
                  n_queries: int = 8, fri_fold_bits: int = 2):
-        self.inner = inner_setup
+        self.child = child_setup          # structural setup of child proofs
+        self.r1_verkey = [int(v) for v in np.ravel(np.asarray(r1_verkey))]
         self.n_bits = n_bits
         self.join_publics = join_publics
         self.chain = chain
@@ -547,30 +556,64 @@ class Recursive2Prover:
         self.fri_fold_bits = fri_fold_bits
         self._compiled = None
 
-    def prove_pair(self, verkey, proof1, proof2):
-        from .prover import StarkProver
-        from .setup import StarkSetup
+    def _child_vk(self, s: GLSynth, vk_pub: list[int], actual) -> list[int]:
+        """The child-verkey choice: a committed bit picks the constant
+        recursive1 verkey or the out-verkey public; the chosen value must
+        hash-open the child's const tree (enforced downstream by
+        build_verifier's Merkle checks)."""
+        actual_v = [int(v) for v in np.ravel(np.asarray(actual))]
+        is_r2 = 0 if actual_v == self.r1_verkey else 1
+        bit = s.alloc(is_r2)
+        s.assert_bool(bit)
+        out = []
+        for j in range(4):
+            r1c = s.constant(self.r1_verkey[j])
+            out.append(s.select(bit, vk_pub[j], r1c))
+            assert s.vals[out[-1]] == actual_v[j], \
+                "child verkey is neither recursive1's nor the vk public"
+        return out
 
+    def _synth_pair(self, proof1, vk1, proof2, vk2, out_vk):
         s = GLSynth()
-        vk_vals = [int(v) for v in np.ravel(np.asarray(verkey))]
         p1_sigs = [s.alloc(int(p)) for p in proof1.publics]
         p2_sigs = [s.alloc(int(p)) for p in proof2.publics]
-        vk_sigs = [s.alloc(v) for v in vk_vals]
+        vk_pub = [s.alloc(int(v)) for v in np.ravel(np.asarray(out_vk))]
         for i1, i2 in self.chain:
             s.assert_eq(p1_sigs[i1], p2_sigs[i2])
         for sig in self.join_publics(p1_sigs, p2_sigs):
             s.set_public(sig)
-        for sig in vk_sigs:
+        for sig in vk_pub:
             s.set_public(sig)
-        build_verifier(self.inner, s, vk_sigs, p1_sigs, proof1)
-        build_verifier(self.inner, s, vk_sigs, p2_sigs, proof2)
-        if self._compiled is None:
-            cc = glc.compile_air(s, self.n_bits)
-            pv = StarkProver(StarkSetup(
-                cc.air, n_queries=self.n_queries,
-                fri_fold_bits=self.fri_fold_bits))
-            self._compiled = (cc, pv)
+        vk1_sigs = self._child_vk(s, vk_pub, vk1)
+        vk2_sigs = self._child_vk(s, vk_pub, vk2)
+        build_verifier(self.child, s, vk1_sigs, p1_sigs, proof1)
+        build_verifier(self.child, s, vk2_sigs, p2_sigs, proof2)
+        return s
+
+    def prepare(self, proof1, vk1, proof2, vk2):
+        """Compile the fixed circuit from a throwaway witness (the vk
+        public's VALUE does not shape the circuit — only the structure of
+        the child proofs does), fixing this circuit's own verkey."""
+        from .prover import StarkProver
+        from .setup import StarkSetup
+
+        if self._compiled is not None:
+            return
+        s = self._synth_pair(proof1, vk1, proof2, vk2, self.r1_verkey)
+        cc = glc.compile_air(s, self.n_bits)
+        pv = StarkProver(StarkSetup(
+            cc.air, n_queries=self.n_queries,
+            fri_fold_bits=self.fri_fold_bits))
+        self._compiled = (cc, pv)
+
+    def prove_pair(self, proof1, vk1, proof2, vk2):
+        """vk1/vk2: each child's actual verkey — recursive1's, or this
+        circuit's own (an r2 output). The produced proof's vk public is
+        always this circuit's own verkey (the reference's
+        publics[44..47] = recursive2Verkey invariant)."""
+        self.prepare(proof1, vk1, proof2, vk2)
         cc, pv = self._compiled
+        s = self._synth_pair(proof1, vk1, proof2, vk2, pv.verkey)
         stacked = cc.air.stack_traces(cc.trace(s))
         return pv.prove(stacked)
 
