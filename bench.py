@@ -23,12 +23,12 @@ the phase's two physical lower bounds (BASELINE.md target: >= 0.90):
 
   Poseidon compute bound (dominates this phase):
     perms = 2N * ceil(C/8)  leaf sponge  +  ~2N  tree levels
-    bounded by the MEASURED standalone Pallas kernel rate on this chip
-    (tools/measure_baseline.py poseidon_perms_2e20: 15.6M perms/s —
-    itself ~VPU-limited: one width-12 permutation is ~12-14k u32 VPU
-    ops: 30 rounds, full s-box 12 lanes x 8 + partial 22, 30 circulant
-    MDS 12x12). The phase cannot hash faster than its own kernel, so
-    perms / kernel_rate is a sound speed-of-light floor (~2.4 s here).
+    bounded by the standalone Pallas kernel rate MEASURED IN THIS RUN on
+    this chip (~14-16M perms/s — itself ~VPU-limited: one width-12
+    permutation is ~12-14k u32 VPU ops: 30 rounds, full s-box 12 lanes
+    x 8 + partial 22, 30 circulant MDS 12x12). The phase cannot hash
+    faster than its own kernel, so perms / kernel_rate is a sound
+    speed-of-light floor (~2.4 s here).
 
 The phase is Poseidon-compute-bound: vs_baseline = binding_bound /
 measured, with the HBM bound (14 ms) shown in the derivation only. The
@@ -47,8 +47,31 @@ N_BITS_EXT = 22
 N_COLS = 64
 HBM_GBPS = 819.0        # v5e single-chip HBM bandwidth
 TRAFFIC_FACTOR = 10.3   # HBM passes over the trace bytes (derivation above)
-PERM_RATE = 15.6e6      # measured standalone kernel perms/s on this chip
-#                         (tools/measure_baseline.py poseidon_perms_2e20)
+
+
+def _measure_perm_rate() -> float:
+    """Standalone Pallas Poseidon kernel perms/s, measured on THIS chip in
+    THIS run — the compute bound must come from the same hardware as the
+    phase measurement (a constant from another chip/day skews the ratio
+    both ways). The checksum rides the jitted program; device_get of it
+    forces completion (block_until_ready alone does not, on axon)."""
+    import jax
+
+    from zkevm_prover_tpu.ops import goldilocks as gl
+    from zkevm_prover_tpu.ops import poseidon_pallas
+
+    batch = 1 << 20
+    rng = np.random.default_rng(1)
+    x = jax.device_put(
+        rng.integers(0, gl.P, size=(batch, 12), dtype=np.uint64))
+    f = jax.jit(lambda v: (lambda o: o[0, 0])(poseidon_pallas.permute(v)))
+    jax.device_get(f(x))  # compile + warm
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.device_get(f(x))
+        times.append(time.perf_counter() - t0)
+    return batch / min(times)
 
 
 def main() -> None:
@@ -57,6 +80,7 @@ def main() -> None:
     from zkevm_prover_tpu.ops import goldilocks as gl
     from zkevm_prover_tpu.parallel import pipeline
 
+    perm_rate = _measure_perm_rate()
     rng = np.random.default_rng(0)
     x = jax.device_put(
         rng.integers(0, gl.P, size=(1 << N_BITS, N_COLS), dtype=np.uint64)
@@ -78,7 +102,7 @@ def main() -> None:
     t_hbm = TRAFFIC_FACTOR * d_bytes / (HBM_GBPS * 1e9)
     n_ext = 1 << N_BITS_EXT
     perms = n_ext * (-(-N_COLS // 8)) + n_ext  # leaf sponge + tree levels
-    t_vpu = perms / PERM_RATE
+    t_vpu = perms / perm_rate
     t_bound = max(t_hbm, t_vpu)  # the BINDING roofline
     mrow_s = n_ext / best / 1e6
     print(json.dumps({

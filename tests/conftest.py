@@ -28,3 +28,26 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/zkevm_prover_tpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Test tiers: the default suite must stay under the CI budget (~5 min on a
+# 1-core host); everything marked `slow` needs ZK_SLOW=1. The slow tier is
+# the reference's "config-activated test" role (SURVEY.md §4) — full-size
+# proves, heavy XLA compiles, production-shape circuits.
+# ---------------------------------------------------------------------------
+import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: heavy compile/prove; excluded unless ZK_SLOW=1")
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("ZK_SLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow tier: set ZK_SLOW=1")
+    for item in items:
+        if item.get_closest_marker("slow"):
+            item.add_marker(skip)

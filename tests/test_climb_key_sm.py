@@ -58,7 +58,7 @@ def test_air_accepts_honest_trace():
         want = climb_key.result(a)
         got = [int(v) for v in tr[i * k + k - 1, :4]]
         assert got == want
-    bad = _prover().check_constraints(tr)
+    bad = _prover().check_constraints(tr, quick=True)
     assert bad == [], f"violated: {bad}"
 
 
@@ -66,7 +66,7 @@ def test_air_rejects_wrong_climb():
     acts = [{"key": [10, 20, 30, 40], "level": 1, "bit": 1}]
     tr = climb_key.execute(acts, N_BITS)
     tr[15, 1] = 40  # claim lane 1 climbed to 40 instead of 41
-    assert _prover().check_constraints(tr) != []
+    assert _prover().check_constraints(tr, quick=True) != []
 
 
 def test_air_rejects_wrong_lane():

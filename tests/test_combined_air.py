@@ -58,7 +58,7 @@ def test_combined_air_satisfied():
     res, traces = combined.execute_batch(_rom(), N_BITS, include=MB_INCLUDE)
     air = combined.build_batch_air(_rom(), N_BITS, include=MB_INCLUDE)
     stacked = air.stack_traces(traces)
-    bad = _prover().check_constraints(stacked)
+    bad = _prover().check_constraints(stacked, quick=True)
     assert bad == [], f"violated constraints: {bad}"
 
 
@@ -75,11 +75,11 @@ def test_combined_air_rejects_cross_sm_forgery():
     mem_tr[rows[0], 6] = np.uint64(8)  # VAL0
     mem_prover = StarkProver(StarkSetup(
         memory.build_air(N_BITS), n_queries=8, fri_fold_bits=2))
-    assert mem_prover.check_constraints(mem_tr) == [], \
+    assert mem_prover.check_constraints(mem_tr, quick=True) == [], \
         "forged memory trace should still be internally consistent"
 
     stacked = air.stack_traces({**traces, "memory": mem_tr})
-    assert _prover().check_constraints(stacked) != [], \
+    assert _prover().check_constraints(stacked, quick=True) != [], \
         "combined AIR must reject the forged memory row"
 
 
@@ -127,7 +127,7 @@ def test_combined_mem_align_binding_satisfied():
     assert len(res.actions.mem_align) == 2
     air = combined.build_batch_air(_ma_rom(), N_BITS, include=MA_INCLUDE)
     stacked = air.stack_traces(traces)
-    bad = _ma_prover().check_constraints(stacked)
+    bad = _ma_prover().check_constraints(stacked, quick=True)
     assert bad == [], f"violated constraints: {bad}"
 
 
@@ -145,11 +145,11 @@ def test_combined_mem_align_rejects_forged_write():
     forged, _ = ma.execute(acts, N_BITS)
     sm_prover = StarkProver(StarkSetup(
         ma.build_air(N_BITS), n_queries=8, fri_fold_bits=2))
-    assert sm_prover.check_constraints(forged) == [], \
+    assert sm_prover.check_constraints(forged, quick=True) == [], \
         "forged mem_align trace should be internally consistent"
     air = combined.build_batch_air(_ma_rom(), N_BITS, include=MA_INCLUDE)
     stacked = air.stack_traces({**traces, "mem_align": forged})
-    assert _ma_prover().check_constraints(stacked) != [], \
+    assert _ma_prover().check_constraints(stacked, quick=True) != [], \
         "combined AIR must reject the forged memAlign value"
 
 
@@ -202,7 +202,7 @@ def test_combined_arith_binding_satisfied():
     assert [a["op"] for a in res.actions.arith] == ["mul", "dbl", "addfp2"]
     air = combined.build_batch_air(_ar_rom(), N_BITS, include=AR_INCLUDE)
     stacked = air.stack_traces(traces)
-    bad = _ar_prover().check_constraints(stacked)
+    bad = _ar_prover().check_constraints(stacked, quick=True)
     assert bad == [], f"violated constraints: {bad}"
 
 
@@ -220,11 +220,11 @@ def test_combined_arith_rejects_forged_operand():
     forged = ar.execute(acts, N_BITS)
     sm_prover = StarkProver(StarkSetup(
         ar.build_air(N_BITS), n_queries=8, fri_fold_bits=2))
-    assert sm_prover.check_constraints(forged) == [], \
+    assert sm_prover.check_constraints(forged, quick=True) == [], \
         "forged arith trace should be internally consistent"
     air = combined.build_batch_air(_ar_rom(), N_BITS, include=AR_INCLUDE)
     stacked = air.stack_traces({**traces, "arith": forged})
-    assert _ar_prover().check_constraints(stacked) != [], \
+    assert _ar_prover().check_constraints(stacked, quick=True) != [], \
         "combined AIR must reject the forged arith operand"
 
 
@@ -260,15 +260,9 @@ def _storage_prover():
     return _cache["sp"]
 
 
-_slow = pytest.mark.skipif(
-    not __import__("os").environ.get("ZK_SLOW"),
-    reason="~10 min even with eager evaluation; run with ZK_SLOW=1")
-
-
-@_slow
 def test_combined_storage_binding_satisfied():
-    import jax
-
+    """Un-gated: the numpy quick checker evaluates the ~300-column combined
+    AIR in seconds (it was ZK_SLOW-gated at ~10 min under eager jnp)."""
     from zkevm_prover_tpu.hashdb.database import Database
     from zkevm_prover_tpu.hashdb.smt import Smt
 
@@ -278,18 +272,12 @@ def test_combined_storage_binding_satisfied():
     air = combined.build_batch_air(_storage_rom(), N_BITS,
                                    include=STORAGE_INCLUDE)
     stacked = air.stack_traces(traces)
-    # ~300 columns: XLA compile of the jitted check exceeds any reasonable
-    # test budget on this host — run the same graph eagerly instead
-    with jax.disable_jit():
-        bad = _storage_prover().check_constraints(stacked)
+    bad = _storage_prover().check_constraints(stacked, quick=True)
     assert bad == [], f"violated constraints: {bad}"
     _cache["storage_run"] = (res, traces, air)
 
 
-@_slow
 def test_combined_storage_rejects_forged_value():
-    import jax
-
     if "storage_run" not in _cache:
         test_combined_storage_binding_satisfied()
     res, traces, air = _cache["storage_run"]
@@ -305,8 +293,7 @@ def test_combined_storage_rejects_forged_value():
     assert len(rows) > 0
     st[rows, ci["VLOW0"]] = np.uint64(778)
     stacked = air.stack_traces({**traces, "storage": st})
-    with jax.disable_jit():
-        assert _storage_prover().check_constraints(stacked) != []
+    assert _storage_prover().check_constraints(stacked, quick=True) != []
 
 
 def test_combined_air_rejects_forged_carry():
@@ -321,5 +308,5 @@ def test_combined_air_rejects_forged_carry():
     r = int(bin_rows[-1])
     main_tr[r, cols.index("CARRY")] ^= np.uint64(1)
     stacked = air.stack_traces({**traces, "main": main_tr})
-    assert _prover().check_constraints(stacked) != [], \
+    assert _prover().check_constraints(stacked, quick=True) != [], \
         "combined AIR must reject a forged binary carry"

@@ -35,7 +35,7 @@ def _prover_for(name, build_air, n_bits):
 
 def _check(name, build_air, n_bits, trace):
     prover = _prover_for(name, build_air, n_bits)
-    bad = prover.check_constraints(trace)
+    bad = prover.check_constraints(trace, quick=True)
     assert bad == [], f"violated constraints: {bad}"
     return prover
 
@@ -100,7 +100,7 @@ def test_memory_tampered_read_rejected():
     trace, _ = memory.execute(acts, N_BITS)
     trace[1, 6] = 43  # read returns 43 instead of 42
     prover = _prover_for("memory", memory.build_air, N_BITS)
-    assert prover.check_constraints(trace) != []
+    assert prover.check_constraints(trace, quick=True) != []
 
 
 def test_arith_mul_add_and_air():
@@ -148,12 +148,12 @@ def test_arith_ec_add_double_and_air():
     t = trace.copy()
     t[:32, 5 * arith.L] ^= np.uint64(1)  # X3 limb 0 of the dbl group
     prover = _prover_for("arith", arith.build_air, N_BITS)
-    assert prover.check_constraints(t) != []
+    assert prover.check_constraints(t, quick=True) != []
 
     # tamper: claim a different slope
     t = trace.copy()
     t[32:64, 6 * arith.L] ^= np.uint64(1)  # S limb 0 of the add group
-    assert prover.check_constraints(t) != []
+    assert prover.check_constraints(t, quick=True) != []
 
 
 def test_arith_tampered_product_rejected():
@@ -161,7 +161,7 @@ def test_arith_tampered_product_rejected():
     trace = arith.execute(acts, N_BITS)
     trace[:32, 3 * arith.L] += 1  # tamper y2 limb 0 across the group
     prover = _prover_for("arith", arith.build_air, N_BITS)
-    assert prover.check_constraints(trace) != []
+    assert prover.check_constraints(trace, quick=True) != []
 
 
 def test_arith_bn254_fp2_ops_and_air():
@@ -202,7 +202,7 @@ def test_arith_alias_y3_plus_p_rejected():
                      (a, b, c, d, x3, y3 + p, 0, 0, q1, q2 - 1),
                      check=False)
     prover = _prover_for("arith", arith.build_air, N_BITS)
-    assert prover.check_constraints(trace) != [], \
+    assert prover.check_constraints(trace, quick=True) != [], \
         "alias y3+p must violate the chunk scan"
 
 
@@ -222,7 +222,7 @@ def test_arith_fake_add_same_x_rejected():
     arith.fill_group(trace, 0, N_BITS, "add",
                      (gx, gy, gx, gy, x3, y3, s, q0, q1, q2), check=False)
     prover = _prover_for("arith", arith.build_air, N_BITS)
-    assert prover.check_constraints(trace) != [], \
+    assert prover.check_constraints(trace, quick=True) != [], \
         "add with x2 == x1 must violate xAreDifferent"
 
 
@@ -234,7 +234,7 @@ def test_arith_oversize_limb_rejected():
     q0c = 7 * arith.L  # Q0 limb 0 — dead weight for eq0 groups
     trace[:32, q0c] = np.uint64(1 << 16)
     prover = _prover_for("arith", arith.build_air, N_BITS)
-    assert prover.check_constraints(trace) != [], \
+    assert prover.check_constraints(trace, quick=True) != [], \
         "17-bit limb must violate the range lanes"
 
 

@@ -18,7 +18,7 @@ _cache: dict = {}
 
 def _final(tmp_path):
     if "fp" not in _cache:
-        pp = Prover(n_bits=9)
+        pp = Prover(n_bits=9, final_snark="digest")
         pub = PublicInputs(
             old_state_root="0x" + "11" * 32,
             new_state_root="0x" + "22" * 32,

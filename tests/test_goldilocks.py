@@ -96,3 +96,56 @@ def test_gl3_mul_base_embedding():
     s = jnp.asarray(rng.integers(0, P, (5,), dtype=np.uint64))
     got = gl3.mul(a, gl3.from_base(s))
     assert np.all(np.asarray(got) == np.asarray(gl3.mul_base(a, s)))
+
+
+def test_numpy_backend_matches_jax():
+    """The backend-polymorphic ops (quick-check fast path) must agree with
+    the jax path bit-for-bit on every op the quick checker uses."""
+    rng = np.random.default_rng(10)
+    a_np = rng.integers(0, P, (33,), dtype=np.uint64)
+    b_np = rng.integers(0, P, (33,), dtype=np.uint64)
+    a_j, b_j = jnp.asarray(a_np), jnp.asarray(b_np)
+    with np.errstate(over="ignore"):
+        for op in (gl.add, gl.sub, gl.mul):
+            got = op(a_np, b_np)
+            assert isinstance(got, np.ndarray)
+            assert np.all(got == np.asarray(op(a_j, b_j))), op.__name__
+        assert np.all(gl.neg(a_np) == np.asarray(gl.neg(a_j)))
+        assert np.all(gl.inv(a_np) == np.asarray(gl.inv(a_j)))
+        assert int(gl.modsum(a_np)) == int(gl.modsum(a_j))
+        assert np.all(gl.batch_inverse(a_np) == np.asarray(gl.batch_inverse(a_j)))
+        assert np.all(gl.scan_mul(a_np) ==
+                      np.asarray(gl.scan_mul(jnp.asarray(a_np))))
+        assert np.all(gl.scan_mul(a_np, reverse=True) ==
+                      np.asarray(gl.scan_mul(jnp.asarray(a_np), reverse=True)))
+        a3_np = rng.integers(1, P, (9, 3), dtype=np.uint64)
+        b3_np = rng.integers(0, P, (9, 3), dtype=np.uint64)
+        a3_j, b3_j = jnp.asarray(a3_np), jnp.asarray(b3_np)
+        assert np.all(gl3.mul(a3_np, b3_np) == np.asarray(gl3.mul(a3_j, b3_j)))
+        assert np.all(gl3.inv(a3_np) == np.asarray(gl3.inv(a3_j)))
+        assert np.all(gl3.batch_inverse(a3_np)
+                      == np.asarray(gl3.batch_inverse(a3_j)))
+        assert np.all(gl3.from_base(a_np) == np.asarray(gl3.from_base(a_j)))
+        s_np = rng.integers(0, P, (9,), dtype=np.uint64)
+        assert np.all(gl3.mul_base(a3_np, s_np)
+                      == np.asarray(gl3.mul_base(a3_j, jnp.asarray(s_np))))
+
+
+def test_numpy_h1h2_and_z_match_jax():
+    from zkevm_prover_tpu.stark.prover import calculate_h1h2, calculate_z
+
+    rng = np.random.default_rng(11)
+    n, d = 32, 2
+    t_np = rng.integers(0, 50, (n, d)).astype(np.uint64)
+    f_np = t_np[rng.integers(0, n, n)]  # every f row appears in t
+    h1n, h2n, okn = calculate_h1h2(f_np, t_np)
+    h1j, h2j, okj = calculate_h1h2(jnp.asarray(f_np), jnp.asarray(t_np))
+    assert bool(okn) and bool(okj)
+    assert np.all(h1n == np.asarray(h1j)) and np.all(h2n == np.asarray(h2j))
+    with np.errstate(over="ignore"):
+        num = rng.integers(1, P, (n,), dtype=np.uint64)
+        den = rng.integers(1, P, (n,), dtype=np.uint64)
+        zn = calculate_z(num, den)
+        zj = calculate_z(jnp.asarray(num), jnp.asarray(den))
+        assert isinstance(zn, np.ndarray)
+        assert np.all(zn == np.asarray(zj))

@@ -109,7 +109,7 @@ def test_keccak_pipeline_satisfied():
     res, traces = _run()
     assert len(res.actions.keccak) == 2
     stacked = _air().stack_traces(traces)
-    bad = _prover().check_constraints(stacked)
+    bad = _prover().check_constraints(stacked, quick=True)
     assert bad == [], f"violated constraints: {bad}"
 
 
@@ -123,7 +123,7 @@ def test_keccak_pipeline_rejects_forged_digest():
     rows = forged[:, ci["ADDR"]] == 0x100
     forged[rows, ci["DG3"]] ^= 1
     stacked = _air().stack_traces({**traces, "padding_kk": forged})
-    assert _prover().check_constraints(stacked) != [], \
+    assert _prover().check_constraints(stacked, quick=True) != [], \
         "combined AIR must reject a forged padding digest"
 
 
@@ -143,7 +143,7 @@ def test_keccak_pipeline_rejects_forged_stream_byte():
     for l in range(8):  # silence the digest layers: keep the real limbs
         forged[:, ci[f"DG{l}"]] = traces["padding_kk"][:, ci[f"DG{l}"]]
     stacked = _air().stack_traces({**traces, "padding_kk": forged})
-    assert _prover().check_constraints(stacked) != [], \
+    assert _prover().check_constraints(stacked, quick=True) != [], \
         "combined AIR must reject a forged stream byte"
 
 
@@ -203,7 +203,7 @@ def test_sha256_pipeline_satisfied_and_rejects_forgery():
     assert len(res.actions.sha256) == 1
     air = _sha_air()
     stacked = air.stack_traces(traces)
-    bad = _sha_prover().check_constraints(stacked)
+    bad = _sha_prover().check_constraints(stacked, quick=True)
     assert bad == [], f"violated constraints: {bad}"
 
     from zkevm_prover_tpu.executor.sm import padding_sha256
@@ -213,7 +213,7 @@ def test_sha256_pipeline_satisfied_and_rejects_forgery():
     rows = forged[:, ci["ADDR"]] == 0x40
     forged[rows, ci["DG5"]] ^= 1
     stacked = air.stack_traces({**traces, "padding_sha256": forged})
-    assert _sha_prover().check_constraints(stacked) != [], \
+    assert _sha_prover().check_constraints(stacked, quick=True) != [], \
         "combined AIR must reject a forged sha digest"
 
 
@@ -267,7 +267,7 @@ def test_hashp_pipeline_satisfied_and_rejects_forgery():
     assert len(res.actions.hashp) == 1
     air = _pg_air()
     stacked = air.stack_traces(traces)
-    bad = _pg_prover().check_constraints(stacked)
+    bad = _pg_prover().check_constraints(stacked, quick=True)
     assert bad == [], f"violated constraints: {bad}"
 
     from zkevm_prover_tpu.executor.sm import padding_pg_byte
@@ -277,7 +277,7 @@ def test_hashp_pipeline_satisfied_and_rejects_forgery():
     rows = forged[:, ci["ADDR"]] == 0x30
     forged[rows, ci["DG0"]] ^= 1
     stacked = air.stack_traces({**traces, "padding_pg_byte": forged})
-    assert _pg_prover().check_constraints(stacked) != [], \
+    assert _pg_prover().check_constraints(stacked, quick=True) != [], \
         "combined AIR must reject a forged hashP digest"
 
 
@@ -294,5 +294,5 @@ def test_keccak_pipeline_rejects_forged_output_bit():
     row = 1 * lay.n_pos + 300
     forged[row, ci["SOUT"]] ^= 1
     stacked = _air().stack_traces({**traces, "keccak_bit": forged})
-    assert _prover().check_constraints(stacked) != [], \
+    assert _prover().check_constraints(stacked, quick=True) != [], \
         "combined AIR must reject a forged permutation output bit"

@@ -86,7 +86,7 @@ def test_keccak_f_air_satisfied():
     acts = [{"state": rng.integers(0, M64, 25, dtype=np.uint64)}
             for _ in range(PACK + 1)]  # spills into a second slot
     trace = keccak_f.execute(acts, N_BITS, circ, PACK, LIMB_BITS)
-    bad = _prover().check_constraints(trace)
+    bad = _prover().check_constraints(trace, quick=True)
     assert bad == [], f"violated constraints: {bad}"
 
 
@@ -101,7 +101,7 @@ def test_keccak_f_air_rejects_tampering():
     # break gate semantics: c limb inconsistent with (op, a, b)
     t = trace.copy()
     t[2000, 2 * m] ^= np.uint64(1)
-    bad = prover.check_constraints(t)
+    bad = prover.check_constraints(t, quick=True)
     assert bad != []
 
     # break the wire graph but keep per-row gate semantics: flip one input
@@ -110,5 +110,5 @@ def test_keccak_f_air_rejects_tampering():
     r = 2001
     t[r, 0] ^= np.uint64(1)      # a limb 0
     t[r, 2 * m] ^= np.uint64(1)  # c limb 0 (keeps XOR row in the table)
-    bad = prover.check_constraints(t)
+    bad = prover.check_constraints(t, quick=True)
     assert bad != [], "copy constraints must catch a rewired gate"

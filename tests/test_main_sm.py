@@ -325,7 +325,7 @@ def test_main_air_satisfied():
     rom = _air_program()
     res = main_sm.MainExecutor(rom, N_BITS).execute()
     prover = _main_prover(rom)
-    bad = prover.check_constraints(res.trace)
+    bad = prover.check_constraints(res.trace, quick=True)
     assert bad == [], f"violated constraints: {bad}"
 
 
@@ -350,7 +350,7 @@ def test_main_air_rejects_tampering():
     # 1. forge a register write (C gets 13 instead of 12)
     t = res.trace.copy()
     t[3:, cols.index("C0")] = np.uint64(13)
-    assert prover.check_constraints(t) != []
+    assert prover.check_constraints(t, quick=True) != []
 
     # 2. skip the jump: pretend JMPN did not take the branch
     t = res.trace.copy()
@@ -358,7 +358,7 @@ def test_main_air_rejects_tampering():
                       t[:, cols.index("ISNEG")]))
     t[r, cols.index("ISNEG")] = np.uint64(0)
     t[r, cols.index("DOJMP")] = np.uint64(0)
-    assert prover.check_constraints(t) != []
+    assert prover.check_constraints(t, quick=True) != []
 
     # 3. execute an instruction that is not in the ROM (flip a selector):
     #    caught by the ROM plookup
@@ -366,4 +366,4 @@ def test_main_air_rejects_tampering():
     t[2, cols.index("inB")] = np.uint64(0)
     t[2, cols.index("OP0")] = np.uint64(7)
     t[3:, cols.index("C0")] = np.uint64(7)
-    assert any(str(b).startswith("plookup") for b in prover.check_constraints(t))
+    assert any(str(b).startswith("plookup") for b in prover.check_constraints(t, quick=True))

@@ -52,7 +52,7 @@ def test_air_accepts_honest_trace():
         assert v == results[i]
         w0 = sum(int(row[2 + j]) << (32 * j) for j in range(8))
         assert w0 == a["w0"]
-    bad = _prover().check_constraints(tr)
+    bad = _prover().check_constraints(tr, quick=True)
     assert bad == [], f"violated: {bad}"
 
 
@@ -113,18 +113,18 @@ def test_write_semantics_and_air():
     exp8 = (window & ~(0xFF << (8 * 40))) | ((val & 0xFF) << (8 * 40))
     assert (nw0, nw1) == (exp8 & ((1 << 256) - 1), exp8 >> 256)
 
-    bad = _prover().check_constraints(tr)
+    bad = _prover().check_constraints(tr, quick=True)
     assert bad == [], f"violated: {bad}"
 
     # tamper: flip an output byte inside the written span
     t = tr.copy()
     bo_col = 2 + 3 * mem_align.N_LIMB
     t[7, bo_col] ^= np.uint64(1)   # window row 7 of the wr group (in-span)
-    assert _prover().check_constraints(t) != []
+    assert _prover().check_constraints(t, quick=True) != []
 
     # tamper: pretend the span started one byte later (INS shifted)
     t = tr.copy()
     ins_col = bo_col + 1
     t[5, ins_col] = np.uint64(0)
     t[37, ins_col] = np.uint64(1)
-    assert _prover().check_constraints(t) != []
+    assert _prover().check_constraints(t, quick=True) != []

@@ -40,7 +40,7 @@ def test_digests_match_host_keccak():
 
 def test_padding_air_satisfied():
     trace, _, _ = padding_kk.execute(_msgs(), N_BITS)
-    bad = _prover().check_constraints(trace)
+    bad = _prover().check_constraints(trace, quick=True)
     assert bad == [], f"violated constraints: {bad}"
 
 
@@ -55,7 +55,7 @@ def test_padding_air_rejects_tampering():
                           & (t[:, ci["PADFIRST"]] == 0)
                           & (t[:, ci["BYTE"]] == 0))[0]
     t[int(pad_rows[0]), ci["BYTE"]] = np.uint64(0xFF)
-    assert prover.check_constraints(t) != []
+    assert prover.check_constraints(t, quick=True) != []
 
     # padding started before the message ran out (REM still > 1)
     t = trace.copy()
@@ -65,7 +65,7 @@ def test_padding_air_rejects_tampering():
     t[r, ci["PADFIRST"]] = 1
     t[r, ci["BYTE"]] = np.uint64(0x01)
     t[r, ci["REM"]] = 0
-    assert prover.check_constraints(t) != []
+    assert prover.check_constraints(t, quick=True) != []
 
     # wrong final pad byte (0x00 instead of 0x80)
     t = trace.copy()
@@ -73,4 +73,4 @@ def test_padding_air_rejects_tampering():
                for b in range((1 << N_BITS) // padding_kk.BLOCK)]
     er = [r for r in endrows if t[r, ci["LASTH"]] == 1][0]
     t[er, ci["BYTE"]] = np.uint64(0)
-    assert prover.check_constraints(t) != []
+    assert prover.check_constraints(t, quick=True) != []

@@ -42,7 +42,7 @@ def test_air_accepts_honest_trace():
         {"values": [rng.randrange(rm.P) for _ in range(7)]},   # 1 chunk
     ]
     tr, _ = padding_pg.execute(acts, N_BITS)
-    bad = _prover().check_constraints(tr)
+    bad = _prover().check_constraints(tr, quick=True)
     assert bad == [], f"violated: {bad}"
 
 
@@ -52,7 +52,7 @@ def test_air_rejects_broken_chain():
     tr, _ = padding_pg.execute(acts, N_BITS)
     # tamper the capacity carried into the second group
     tr[32, 8] = (int(tr[32, 8]) + 1) % rm.P
-    assert _prover().check_constraints(tr) != []
+    assert _prover().check_constraints(tr, quick=True) != []
 
 
 def test_air_rejects_forged_fresh_capacity():
@@ -60,7 +60,7 @@ def test_air_rejects_forged_fresh_capacity():
     acts = [{"values": [rng.randrange(rm.P) for _ in range(6)]}]
     tr, _ = padding_pg.execute(acts, N_BITS)
     tr[0, 9] = 7  # fresh group must start with zero capacity
-    assert _prover().check_constraints(tr) != []
+    assert _prover().check_constraints(tr, quick=True) != []
 
 
 def test_prove_verify_roundtrip():

@@ -42,7 +42,7 @@ def test_air_accepts_honest_trace():
     rng = random.Random(1)
     acts = [{"state": [rng.randrange(rm.P) for _ in range(12)]} for _ in range(2)]
     tr = poseidon_g.execute(acts, N_BITS)
-    bad = _prover().check_constraints(tr)
+    bad = _prover().check_constraints(tr, quick=True)
     assert bad == [], f"violated: {bad}"
 
 
@@ -50,7 +50,7 @@ def test_air_rejects_wrong_output():
     acts = [{"state": list(range(12))}]
     tr = poseidon_g.execute(acts, N_BITS)
     tr[30, 0] = (int(tr[30, 0]) + 1) % rm.P  # tamper the final state
-    assert _prover().check_constraints(tr) != []
+    assert _prover().check_constraints(tr, quick=True) != []
 
 
 def test_air_rejects_skipped_sbox():
@@ -59,7 +59,7 @@ def test_air_rejects_skipped_sbox():
     # claim lane 3 of a full round bypassed the s-box
     x = (int(tr[0, 3]) + pc.round_constants()[3]) % rm.P
     tr[0, 24 + 3] = x  # SB = x instead of x^7
-    assert _prover().check_constraints(tr) != []
+    assert _prover().check_constraints(tr, quick=True) != []
 
 
 def test_prove_verify_roundtrip():

@@ -16,7 +16,10 @@ from zkevm_prover_tpu.prover import ProofInput, Prover, ProverRequest, PublicInp
 
 @pytest.fixture(scope="module")
 def prover():
-    return Prover(n_bits=9)
+    # digest final mode: these tests cover queue/chaining mechanics; the
+    # production default (stark-verify) is exercised end-to-end below in
+    # test_final_proof_attests_starks
+    return Prover(n_bits=9, final_snark="digest")
 
 
 def _input(old_root="0x" + "00" * 32, old_acc="0x" + "00" * 32, num=0):

@@ -135,7 +135,9 @@ def test_executor_service_process_batch(shared_prover):
 
 @pytest.fixture(scope="module")
 def shared_prover():
-    return Prover(n_bits=9)
+    # digest final mode keeps the gRPC e2e fast; the production default
+    # (stark-verify) is covered by test_prover_pipeline
+    return Prover(n_bits=9, final_snark="digest")
 
 
 def _chain_inputs():

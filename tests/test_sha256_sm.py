@@ -58,7 +58,7 @@ def test_sha256_f_air_satisfied_and_tampering():
             for _ in range(3)]
     trace = sha256_f.execute(acts, N_BITS, circ, PACK, LIMB_BITS)
     prover = _prover()
-    bad = prover.check_constraints(trace)
+    bad = prover.check_constraints(trace, quick=True)
     assert bad == [], f"violated constraints: {bad}"
 
     m = 2  # limbs
@@ -67,7 +67,7 @@ def test_sha256_f_air_satisfied_and_tampering():
     and_rows = np.nonzero(circ.ops == kc.AND)[0]
     r = int(and_rows[0])
     t[r, 2 * m] ^= np.uint64(1)
-    assert prover.check_constraints(t) != []
+    assert prover.check_constraints(t, quick=True) != []
 
 
 def test_padding_sha256_digests_and_air():
@@ -84,7 +84,7 @@ def test_padding_sha256_digests_and_air():
         _cache["pp"] = StarkProver(StarkSetup(
             padding_sha256.build_air(n_bits), n_queries=8, fri_fold_bits=2))
     prover = _cache["pp"]
-    bad = prover.check_constraints(trace)
+    bad = prover.check_constraints(trace, quick=True)
     assert bad == [], f"violated constraints: {bad}"
 
     ci = {nm: i for i, nm in enumerate(padding_sha256.COLS)}
@@ -95,7 +95,7 @@ def test_padding_sha256_digests_and_air():
     r = int(suff_rows[-1])
     t[r, ci["LENACC"]] += np.uint64(8)
     t[r, ci["BYTE"]] += np.uint64(1)
-    assert prover.check_constraints(t) != []
+    assert prover.check_constraints(t, quick=True) != []
 
     # non-zero filler inside the pad
     t = trace.copy()
@@ -103,4 +103,4 @@ def test_padding_sha256_digests_and_air():
                           & (t[:, ci["PADFIRST"]] == 0)
                           & (t[:, ci["BYTE"]] == 0))[0]
     t[int(pad_rows[0]), ci["BYTE"]] = np.uint64(7)
-    assert prover.check_constraints(t) != []
+    assert prover.check_constraints(t, quick=True) != []

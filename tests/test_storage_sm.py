@@ -57,7 +57,7 @@ def _prover():
 def test_storage_trace_satisfies_air():
     smt, acts = _actions()
     trace, emitted = storage.execute(acts, N_BITS, smt.db)
-    bad = _prover().check_constraints(trace)
+    bad = _prover().check_constraints(trace, quick=True)
     assert bad == [], f"violated constraints: {bad}"
 
     # every emitted Poseidon state really is a node preimage: its permutation
@@ -82,19 +82,19 @@ def test_storage_rejects_tampering():
     r = int(rows[0])
     side = "OR0" if t[r, ci["BIT"]] else "OL0"
     t[r, ci[side]] = (int(t[r, ci[side]]) + 1) % storage.P
-    assert prover.check_constraints(t) != []
+    assert prover.check_constraints(t, quick=True) != []
 
     # claim a different key: the climb constraint breaks
     t = trace.copy()
     t[r, ci["RKEY0"]] = (int(t[r, ci["RKEY0"]]) + 1) % storage.P
-    assert prover.check_constraints(t) != []
+    assert prover.check_constraints(t, quick=True) != []
 
     # break cross-action chaining on a CHAIN row
     t = trace.copy()
     chain_rows = np.nonzero(t[:, ci["CHAIN"]] == 1)[0]
     assert len(chain_rows) > 0
     t[int(chain_rows[0]), ci["NROOT0"]] = np.uint64(12345)
-    assert prover.check_constraints(t) != []
+    assert prover.check_constraints(t, quick=True) != []
 
 
 def test_storage_climb_key_binding():
@@ -142,7 +142,7 @@ def test_storage_climb_key_binding():
     prover = StarkProver(StarkSetup(air, n_queries=8, fri_fold_bits=2))
     stacked = air.stack_traces({"storage": st_tr, "climb_key": ck_tr})
     with jax.disable_jit():
-        bad = prover.check_constraints(stacked)
+        bad = prover.check_constraints(stacked, quick=True)
     assert bad == [], f"violated constraints: {bad}"
 
     # drop one ClimbKey op: the storage climb that used it has no partner
@@ -150,7 +150,7 @@ def test_storage_climb_key_binding():
     ck_tr2 = climb_key.execute(emitted["climb_key"][1:], N_BITS)
     stacked = air.stack_traces({"storage": st_tr, "climb_key": ck_tr2})
     with jax.disable_jit():
-        assert any(str(b).startswith("plookup") for b in prover.check_constraints(stacked))
+        assert any(str(b).startswith("plookup") for b in prover.check_constraints(stacked, quick=True))
 
 
 def test_storage_values_roundtrip():

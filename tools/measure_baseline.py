@@ -35,22 +35,27 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 HBM_GBPS = 819.0
 
 
-def bench_fn(fn, *args, reps: int = 3):
+def _force(out):
+    """Force completion: device_get the LAST leaf (the in-graph checksum).
+    block_until_ready alone does not guarantee execution on remote (axon)
+    backends — it returned in 0.1 ms for a 2^23 LDE."""
     import jax
 
+    leaves = jax.tree_util.tree_leaves(out)
+    jax.device_get(leaves[-1])
+    return out
+
+
+def bench_fn(fn, *args, reps: int = 3):
     t0 = time.time()
-    out = fn(*args)
-    jax.tree_util.tree_map(
-        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready")
-        else x, out)
+    out = _force(fn(*args))
     compile_s = time.time() - t0
-    t0 = time.time()
+    times = []
     for _ in range(reps):
-        out = fn(*args)
-    jax.tree_util.tree_map(
-        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready")
-        else x, out)
-    return compile_s, (time.time() - t0) / reps, out
+        t0 = time.time()
+        _force(fn(*args))
+        times.append(time.time() - t0)
+    return compile_s, min(times), out
 
 
 def measure_ntt(n_bits: int = 23, n_cols: int = 4) -> dict:

@@ -14,23 +14,34 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import goldilocks as gl
 
 FIELD_EXTENSION = 3
 
 
-def zero(shape=()):
+def zero(shape=(), np_backend: bool = False):
+    if np_backend:
+        return np.zeros((*shape, 3), dtype=np.uint64)
     return jnp.zeros((*shape, 3), dtype=jnp.uint64)
 
 
-def one(shape=()):
+def one(shape=(), np_backend: bool = False):
+    if np_backend:
+        z = np.zeros((*shape, 3), dtype=np.uint64)
+        z[..., 0] = 1
+        return z
     z = jnp.zeros((*shape, 3), dtype=jnp.uint64)
     return z.at[..., 0].set(jnp.uint64(1))
 
 
 def from_base(a):
     """Embed base-field array (shape s) into F_p^3 (shape s + (3,))."""
+    if not isinstance(a, jax.Array):
+        z = np.zeros((*a.shape, 3), dtype=np.uint64)
+        z[..., 0] = a
+        return z
     z = jnp.zeros((*a.shape, 3), dtype=jnp.uint64)
     return z.at[..., 0].set(a)
 
@@ -61,12 +72,13 @@ def mul(a, b):
     r0 = gl.sub(gl.add(C, G), F)
     r1 = gl.sub(gl.sub(gl.add(A, C), gl.add(E, E)), D)
     r2 = gl.sub(B, G)
-    return jnp.stack([r0, r1, r2], axis=-1)
+    return gl._ns(a, b).stack([r0, r1, r2], axis=-1)
 
 
 def mul_base(a, s):
     """F_p^3 element times base-field scalar/array (broadcast over last axis)."""
-    s = jnp.asarray(s, dtype=jnp.uint64)
+    xp = gl._ns(a, s)
+    s = xp.asarray(s, dtype=np.uint64)
     return gl.mul(a, s[..., None])
 
 
@@ -98,7 +110,7 @@ def inv(a):
         gl.mul(a1, cof20),
     )
     det_inv = gl.inv(det)
-    return jnp.stack(
+    return gl._ns(a).stack(
         [gl.mul(cof00, det_inv), gl.mul(cof10, det_inv), gl.mul(cof20, det_inv)],
         axis=-1,
     )
@@ -110,13 +122,20 @@ def batch_inverse(a, axis: int = 0):
     Mirrors Polinomial::batchInverseParallel (src/starkpil/polinomial.hpp:635)
     as two associative scans + one field inversion.
     """
+    xp = gl._ns(a)
     n = a.shape[axis]
-    fwd = jax.lax.associative_scan(mul, a, axis=axis)
-    rev = jax.lax.associative_scan(mul, a, axis=axis, reverse=True)
-    total_inv = inv(jax.lax.index_in_dim(fwd, n - 1, axis=axis, keepdims=True))
-    ones = one(jax.lax.slice_in_dim(a, 0, 1, axis=axis).shape[:-1])
-    pre = jnp.concatenate([ones, jax.lax.slice_in_dim(fwd, 0, n - 1, axis=axis)], axis=axis)
-    suf = jnp.concatenate([jax.lax.slice_in_dim(rev, 1, n, axis=axis), ones], axis=axis)
+    fwd = gl.scan_mul(a, axis=axis, op=mul)
+    rev = gl.scan_mul(a, axis=axis, reverse=True, op=mul)
+
+    def _slice(arr, lo, hi):
+        sl = [slice(None)] * arr.ndim
+        sl[axis] = slice(lo, hi)
+        return arr[tuple(sl)]
+
+    total_inv = inv(_slice(fwd, n - 1, n))
+    ones = one(_slice(a, 0, 1).shape[:-1], np_backend=xp is np)
+    pre = xp.concatenate([ones, _slice(fwd, 0, n - 1)], axis=axis)
+    suf = xp.concatenate([_slice(rev, 1, n), ones], axis=axis)
     return mul(mul(pre, suf), total_inv)
 
 

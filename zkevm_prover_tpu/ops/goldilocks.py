@@ -85,7 +85,21 @@ def shift_inv() -> int:
 
 # ---------------------------------------------------------------------------
 # Core vectorized ops (uint64 in, uint64 out, canonical [0, p))
+#
+# Every op is BACKEND-POLYMORPHIC: with jax arrays (or tracers) it runs on
+# jnp as before; with pure numpy inputs it stays in numpy. The numpy path
+# exists for the prover's quick satisfiability checks — eager jnp dispatch
+# is ~1000x slower than numpy on small arrays, and the quick checker's whole
+# point is to avoid XLA compiles (stark/prover.py check_constraints).
 # ---------------------------------------------------------------------------
+
+
+def _ns(*vals):
+    """jnp if any input is a jax array/tracer, else numpy."""
+    for v in vals:
+        if isinstance(v, jax.Array):
+            return jnp
+    return np
 
 
 def asgl(x) -> jax.Array:
@@ -99,20 +113,22 @@ def asgl(x) -> jax.Array:
 
 
 def add(a, b):
+    xp = _ns(a, b)
     s = a + b
     # carry out of u64, or landed in [p, 2^64): subtract p (== add 2^32-1 mod 2^64)
     adj = (s < a) | (s >= P_U64)
-    return s + jnp.where(adj, EPSILON, jnp.uint64(0))
+    return s + xp.where(adj, EPSILON, np.uint64(0))
 
 
 def sub(a, b):
+    xp = _ns(a, b)
     d = a - b
     borrow = a < b
-    return d - jnp.where(borrow, EPSILON, jnp.uint64(0))
+    return d - xp.where(borrow, EPSILON, np.uint64(0))
 
 
 def neg(a):
-    return jnp.where(a == 0, jnp.uint64(0), P_U64 - a)
+    return _ns(a).where(a == 0, np.uint64(0), P_U64 - a)
 
 
 def _mul128(a, b):
@@ -134,14 +150,15 @@ def _mul128(a, b):
 
 def _reduce128(hi, lo):
     """Reduce a 128-bit value mod p using 2^64 = 2^32 - 1, 2^96 = -1 (mod p)."""
+    xp = _ns(hi, lo)
     hi_hi = hi >> np.uint64(32)
     hi_lo = hi & M32
     t0 = lo - hi_hi
-    t0 = t0 - jnp.where(lo < hi_hi, EPSILON, jnp.uint64(0))
+    t0 = t0 - xp.where(lo < hi_hi, EPSILON, np.uint64(0))
     t1 = hi_lo * M32
     t2 = t0 + t1
-    t2 = t2 + jnp.where(t2 < t1, EPSILON, jnp.uint64(0))
-    return jnp.where(t2 >= P_U64, t2 - P_U64, t2)
+    t2 = t2 + xp.where(t2 < t1, EPSILON, np.uint64(0))
+    return xp.where(t2 >= P_U64, t2 - P_U64, t2)
 
 
 def mul(a, b):
@@ -157,7 +174,7 @@ def pow_const(a, e: int):
     """a ** e for a host-known integer exponent (square-and-multiply)."""
     e = int(e)
     if e == 0:
-        return jnp.full_like(a, jnp.uint64(1))
+        return _ns(a).full_like(a, np.uint64(1))
     result = None
     base = a
     while e:
@@ -174,6 +191,29 @@ def inv(a):
     return pow_const(a, P - 2)
 
 
+def scan_mul(a, axis: int = 0, reverse: bool = False, op=None):
+    """Inclusive prefix product along `axis` (log-depth on both backends).
+
+    jax: lax.associative_scan. numpy: Hillis-Steele doubling with the same
+    exact field semantics."""
+    op = op or mul
+    if isinstance(a, jax.Array):
+        return jax.lax.associative_scan(op, a, axis=axis, reverse=reverse)
+    x = np.flip(a, axis=axis) if reverse else a.copy()
+    n = x.shape[axis]
+    sl = [slice(None)] * x.ndim
+    k = 1
+    while k < n:
+        hi, lo = list(sl), list(sl)
+        hi[axis] = slice(k, None)
+        lo[axis] = slice(0, n - k)
+        y = x.copy()
+        y[tuple(hi)] = op(x[tuple(hi)], x[tuple(lo)])
+        x = y
+        k *= 2
+    return np.flip(x, axis=axis) if reverse else x
+
+
 def batch_inverse(a, axis: int = 0):
     """Montgomery batch inversion along `axis` using two prefix-product scans.
 
@@ -181,13 +221,20 @@ def batch_inverse(a, axis: int = 0):
     (src/starkpil/polinomial.hpp:698) with O(log n)-depth associative scans —
     the TPU-friendly formulation (one field inversion total).
     """
+    xp = _ns(a)
     n = a.shape[axis]
-    fwd = jax.lax.associative_scan(mul, a, axis=axis)
-    rev = jax.lax.associative_scan(mul, a, axis=axis, reverse=True)
-    total_inv = inv(jax.lax.index_in_dim(fwd, n - 1, axis=axis, keepdims=True))
-    ones = jnp.ones_like(jax.lax.slice_in_dim(a, 0, 1, axis=axis))
-    pre = jnp.concatenate([ones, jax.lax.slice_in_dim(fwd, 0, n - 1, axis=axis)], axis=axis)
-    suf = jnp.concatenate([jax.lax.slice_in_dim(rev, 1, n, axis=axis), ones], axis=axis)
+    fwd = scan_mul(a, axis=axis)
+    rev = scan_mul(a, axis=axis, reverse=True)
+
+    def _slice(arr, lo, hi):
+        sl = [slice(None)] * arr.ndim
+        sl[axis] = slice(lo, hi)
+        return arr[tuple(sl)]
+
+    total_inv = inv(_slice(fwd, n - 1, n))
+    ones = xp.ones_like(_slice(a, 0, 1))
+    pre = xp.concatenate([ones, _slice(fwd, 0, n - 1)], axis=axis)
+    suf = xp.concatenate([_slice(rev, 1, n), ones], axis=axis)
     return mul(mul(pre, suf), total_inv)
 
 
@@ -200,14 +247,15 @@ def modsum(x, axis=0):
     formulation of the reference's per-thread accumulate in evmap
     (src/starkpil/starks.cpp:614-640).
     """
+    xp = _ns(x)
     n = x.shape[axis] if x.ndim else 1
     assert n <= (1 << 32), "modsum supports up to 2^32 terms"
-    lo = jnp.sum(x & M32, axis=axis)
-    hi = jnp.sum(x >> np.uint64(32), axis=axis)
+    lo = xp.sum(x & M32, axis=axis, dtype=np.uint64)
+    hi = xp.sum(x >> np.uint64(32), axis=axis, dtype=np.uint64)
     # lo, hi < 2^32 * n <= 2^64: exact. total = lo + 2^32*hi (mod p)
-    lo = jnp.where(lo >= P_U64, lo - P_U64, lo)  # lo < 2^64 < 2p
-    hi = jnp.where(hi >= P_U64, hi - P_U64, hi)
-    return add(lo, mul(hi, jnp.uint64(1 << 32)))
+    lo = xp.where(lo >= P_U64, lo - P_U64, lo)  # lo < 2^64 < 2p
+    hi = xp.where(hi >= P_U64, hi - P_U64, hi)
+    return add(lo, mul(hi, np.uint64(1 << 32)))
 
 
 def from_int_array(xs) -> jax.Array:

@@ -67,7 +67,7 @@ def _host_powers(base: int, n: int) -> np.ndarray:
     return tw
 
 
-def geometric_powers(base: int, n: int) -> jax.Array:
+def geometric_powers(base: int, n: int, np_backend: bool = False):
     """[1, base, base^2, ..., base^(n-1)] as a device array.
 
     Small tables come from a cached host computation; large ones are built by
@@ -76,9 +76,17 @@ def geometric_powers(base: int, n: int) -> jax.Array:
     would leak tracers across traces. Recomputing the scan costs O(log n)
     passes, noise next to the NTT butterflies that consume it, and XLA CSEs
     duplicates within one program.
+
+    np_backend=True returns a numpy array (the quick-check path).
     """
     if n <= 4096:
-        return jnp.asarray(_host_powers(base, n))
+        host = _host_powers(base, n)
+        return host.copy() if np_backend else jnp.asarray(host)
+    if np_backend:
+        seed = np.concatenate(
+            [np.ones((1,), np.uint64),
+             np.full((n - 1,), np.uint64(base % gl.P))])
+        return gl.scan_mul(seed)
     seed = jnp.concatenate(
         [jnp.ones((1,), jnp.uint64), jnp.full((n - 1,), jnp.uint64(base % gl.P))]
     )

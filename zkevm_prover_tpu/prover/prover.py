@@ -119,15 +119,24 @@ class ProverRequest:
 class Prover:
     def __init__(self, n_bits: int | dict | None = None,
                  n_queries: int = 8, rom_bits: int = 14,
-                 rom_include: tuple | None = None, mesh=None):
+                 rom_include: tuple | None = None, mesh=None,
+                 final_snark: str = "stark-verify"):
         """rom_bits: trace domain for ROM-path batch proofs (the reference
         fixes 2^23; the fork_9 ROM itself needs >= 2^14). rom_include: the
         SM set of the combined batch AIR (None = combined.DEFAULT_INCLUDE
         + the PoseidonG-complete padding_pg pipeline; pass a tuple with
-        "keccak"/"sha256" at rom_bits >= 18 for the gate pipelines)."""
+        "keccak"/"sha256" at rom_bits >= 18 for the gate pipelines).
+
+        final_snark: the default final-proof mode — like the reference,
+        where the final protocol comes from config (the final zkey path,
+        config.cpp:268). "stark-verify" (production default: ONE Groth16
+        whose circuit verifies the leaf STARKs, the final.circom role) |
+        "digest" / "plonk" / "fflonk" (digest-binding circuits, test-
+        scale)."""
         self.executor = Executor(n_bits=n_bits, n_queries=n_queries)
         self.rom_bits = rom_bits
         self.rom_include = rom_include
+        self.final_snark = final_snark
         self.mesh = mesh            # row-shard ROM-path batch proofs
         self._rom_provers: dict = {}
         self.metrics = TimeMetricStorage("prover")
@@ -680,7 +689,18 @@ class Prover:
         return FinalProof(publics=agg.publics, groth16=proof,
                           publics_digest=digest, stark_publics=pubs)
 
-    def gen_final_proof(self, agg, snark: str = "groth16") -> FinalProof:
+    def gen_final_proof(self, agg, snark: str | None = None) -> FinalProof:
+        """Final SNARK wrap. snark=None takes the prover's configured
+        default (self.final_snark) — "stark-verify" unless overridden, the
+        production path: the Groth16 circuit VERIFIES the STARKs rather
+        than a host-checked digest (reference final.circom over the
+        recursivef verifier, prover.cpp:827-940). A RecursiveNode (from
+        the recursive1/recursive2 aggregation tree) routes to the
+        recursiveF re-proof wrap."""
+        if snark is None:
+            snark = self.final_snark
+        if isinstance(agg, RecursiveNode):
+            return self.gen_final_proof_recursive(agg)
         if snark == "stark-verify":
             return self.gen_final_proof_stark(agg)
         digest = self.publics_digest(agg.publics)

@@ -112,6 +112,8 @@ def final_proof_json(fp) -> dict:
     if fp.stark_publics is not None:
         d["starkPublics"] = [str(v) for v in fp.stark_publics]
         d["smNames"] = list(g16.get("sm_names", []))
+        if "kind" in g16:
+            d["kind"] = g16["kind"]
     return d
 
 
@@ -133,6 +135,8 @@ def _setup_for(prover, fp):
             if tuple(nm for nm, *_ in k) == names:
                 return setup
         raise KeyError("no join setup for this proof's SM names")
+    if isinstance(g16, dict) and g16.get("system") == "groth16-recursive":
+        return prover._final_rec_g16[g16["kind"]]
     return prover._final_circuit()
 
 
@@ -162,8 +166,24 @@ def verify_final_proof_file(proof_path: str, vkey_path: str) -> bool:
     if digest != int(pj["publicsDigest"]):
         return False
     proof = {"pi_a": pj["pi_a"], "pi_b": pj["pi_b"], "pi_c": pj["pi_c"]}
-    if pj.get("system") == "groth16-stark":
+    if pj.get("system") in ("groth16-stark", "groth16-recursive"):
         publics = [int(v) for v in pj["starkPublics"]]
     else:
         publics = [digest]
+    if pj.get("system") == "groth16-recursive":
+        # the batch publics ride INSIDE the circuit publics (the STARK's
+        # 44-public layout after the recursiveF verkey) — the carried
+        # "publics" block must match them, or the file's human-readable
+        # roots would be unbound to the proof
+        def _fea(limbs):
+            return "0x" + sum(
+                int(v) << (32 * i) for i, v in enumerate(limbs)
+            ).to_bytes(32, "big").hex()
+
+        if len(publics) < 45:
+            return False
+        if _fea(publics[1:9]) != pub["oldStateRoot"]:
+            return False
+        if _fea(publics[20:28]) != pub["newStateRoot"]:
+            return False
     return groth16_verify_vkey(vkey, publics, proof)

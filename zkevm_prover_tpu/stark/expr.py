@@ -27,6 +27,7 @@ import dataclasses
 from typing import Any
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import gl3
 from ..ops import goldilocks as gl
@@ -294,6 +295,8 @@ def eval_array(e: Expr, b: ArrayBindings):
     def shift(v, prime):
         if not prime:
             return v
+        if isinstance(v, np.ndarray):
+            return np.roll(v, -b.prime_stride, axis=0)
         return jnp.roll(v, -b.prime_stride, axis=0)
 
     def rec(n):
@@ -309,7 +312,7 @@ def eval_array(e: Expr, b: ArrayBindings):
         elif isinstance(n, Public):
             v = b.publics[n.idx]
         elif isinstance(n, Number):
-            v = jnp.uint64(n.value)
+            v = np.uint64(n.value)
         elif isinstance(n, X):
             v = b.x
         elif isinstance(n, Zi):

@@ -65,6 +65,8 @@ def calculate_h1h2(f, t):
     searchsorted over the cumulative counts.
     """
     n, d = t.shape
+    if isinstance(t, np.ndarray) and isinstance(f, np.ndarray):
+        return _calculate_h1h2_np(f, t)
     comb = jnp.concatenate([t, f], axis=0)
     is_f = jnp.concatenate(
         [jnp.zeros(n, jnp.int32), jnp.ones(n, jnp.int32)]
@@ -93,6 +95,33 @@ def calculate_h1h2(f, t):
     return seq[0::2], seq[1::2], ok
 
 
+def _calculate_h1h2_np(f, t):
+    """Numpy twin of calculate_h1h2 (identical semantics; used by the quick
+    satisfiability checker, where eager jnp dispatch dominates wall-clock)."""
+    n, d = t.shape
+    comb = np.concatenate([t, f], axis=0)
+    is_f = np.concatenate([np.zeros(n, np.int64), np.ones(n, np.int64)])
+    tidx = np.concatenate([np.arange(n, dtype=np.int64),
+                           np.zeros(n, np.int64)])
+    order = np.lexsort(tuple(comb[:, i] for i in range(d)))
+    sc, sf, sti = comb[order], is_f[order], tidx[order]
+    boundary = np.concatenate(
+        [np.ones(1, np.int64),
+         np.any(sc[1:] != sc[:-1], axis=1).astype(np.int64)])
+    seg = np.cumsum(boundary) - 1
+    t_or_neg = np.where(sf == 1, np.int64(-1), sti)
+    starts = np.nonzero(boundary)[0]
+    seg_max = np.maximum.reduceat(t_or_neg, starts)
+    canon = seg_max[seg]
+    ok = bool(np.all((sf == 0) | (canon >= 0)))
+    f_cnt = np.bincount(np.clip(canon, 0, None), weights=sf,
+                        minlength=n)[:n].astype(np.int64)
+    cum = np.cumsum(1 + f_cnt)
+    src = np.searchsorted(cum, np.arange(2 * n), side="right")
+    seq = t[src]
+    return seq[0::2], seq[1::2], ok
+
+
 def calculate_z(num, den):
     """Grand product z[0]=1, z[i]=prod_{j<i} num_j/den_j as (N, 3).
 
@@ -102,7 +131,10 @@ def calculate_z(num, den):
     num3 = num if num.ndim == 2 else gl3.from_base(num)
     den3 = den if den.ndim == 2 else gl3.from_base(den)
     ratio = gl3.mul(num3, gl3.batch_inverse(den3, axis=0))
-    incl = jax.lax.associative_scan(gl3.mul, ratio, axis=0)
+    incl = gl.scan_mul(ratio, axis=0, op=gl3.mul)
+    if isinstance(incl, np.ndarray):
+        return np.concatenate([gl3.one((1,), np_backend=True), incl[:-1]],
+                              axis=0)
     return jnp.concatenate([gl3.one((1,)), incl[:-1]], axis=0)
 
 
@@ -236,6 +268,7 @@ class StarkProver:
         s = self.setup
 
         def run(cm1_n, const_n, challenges, publics):
+            xp = np if isinstance(cm1_n, np.ndarray) else jnp
             sections = {1: cm1_n}
             b = self._bindings(sections, const_n, challenges, publics, ext=False)
             cols, oks = [], []
@@ -249,12 +282,12 @@ class StarkProver:
                 oks.append(ok)
             w2 = s.section_width[2]
             cm2 = (
-                jnp.concatenate(cols, axis=1)
+                xp.concatenate(cols, axis=1)
                 if cols
-                else jnp.zeros((s.n, w2), jnp.uint64)
+                else xp.zeros((s.n, w2), np.uint64)
             )
-            return cm2, (jnp.array(oks) if oks
-                         else jnp.ones((0,), jnp.bool_))
+            return cm2, (xp.array(oks) if oks
+                         else xp.ones((0,), np.bool_))
 
         return run
 
@@ -267,8 +300,10 @@ class StarkProver:
         s = self.setup
 
         def run(cm1_n, cm2_n, const_n, challenges, publics):
+            xp = np if isinstance(cm1_n, np.ndarray) else jnp
             sections = {1: cm1_n, 2: cm2_n}
-            x_n = nttmod.geometric_powers(gl.w(s.n_bits), s.n)
+            x_n = nttmod.geometric_powers(gl.w(s.n_bits), s.n,
+                                          np_backend=xp is np)
             aux_vals: dict = {}
 
             def cm_bind(cid):
@@ -293,9 +328,9 @@ class StarkProver:
                 cols.append(calculate_z(num, den))
             w3 = s.section_width[3]
             return (
-                jnp.concatenate(cols, axis=1)
+                xp.concatenate(cols, axis=1)
                 if cols
-                else jnp.zeros((s.n, w3), jnp.uint64)
+                else xp.zeros((s.n, w3), np.uint64)
             )
 
         return run
@@ -494,12 +529,14 @@ class StarkProver:
         s = self.setup
 
         def run(cm1_n, cm2_n, cm3_n, const_n, challenges, publics):
+            xp = np if isinstance(cm1_n, np.ndarray) else jnp
             sections = {1: cm1_n, 2: cm2_n, 3: cm3_n}
-            x_n = nttmod.geometric_powers(gl.w(s.n_bits), s.n)
+            x_n = nttmod.geometric_powers(gl.w(s.n_bits), s.n,
+                                          np_backend=xp is np)
             b = self._bindings(sections, const_n, challenges, publics,
                                ext=False, x=x_n)
-            return jnp.stack(
-                [jnp.max(ex.eval_array(c, b)) for c in s.constraints]
+            return xp.stack(
+                [xp.max(ex.eval_array(c, b)) for c in s.constraints]
             )
 
         return run
@@ -529,18 +566,22 @@ class StarkProver:
         publics_dev = jnp.asarray(np.array(publics, dtype=np.uint64))
 
         if quick:
-            # eager (unjitted) evaluation: per-op dispatch beats minutes of
-            # XLA compile for a one-shot diagnostic over a huge AIR
+            # pure-NUMPY evaluation: the backend-polymorphic gl/gl3 ops run
+            # on host arrays — no XLA compile, no per-op jnp dispatch (which
+            # made a 300-column quick check take minutes)
             rng = np.random.default_rng(0xC0FFEE)
             challenges = rng.integers(
                 1, (1 << 63), size=(8, 3)).astype(np.uint64)
-            cm2_n, lookups_ok = self._phase2_run(
-                cm1_n, self.const_n, jnp.asarray(challenges), publics_dev)
-            cm3_n = self._phase3_run(cm1_n, cm2_n, self.const_n,
-                                     jnp.asarray(challenges), publics_dev)
-            maxima = np.asarray(
-                self._check_run(cm1_n, cm2_n, cm3_n, self.const_n,
-                                jnp.asarray(challenges), publics_dev))
+            cm1_np = np.asarray(cm1_values, dtype=np.uint64)
+            const_np = np.asarray(self.const_n)
+            publics_np = np.array(publics, dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                cm2_n, lookups_ok = self._phase2_run(
+                    cm1_np, const_np, challenges, publics_np)
+                cm3_n = self._phase3_run(cm1_np, cm2_n, const_np,
+                                         challenges, publics_np)
+                maxima = self._check_run(cm1_np, cm2_n, cm3_n, const_np,
+                                         challenges, publics_np)
             bad: list = [i for i, v in enumerate(maxima) if int(v) != 0]
             bad += [f"plookup:{i}" for i, v in
                     enumerate(np.asarray(lookups_ok)) if not bool(v)]
