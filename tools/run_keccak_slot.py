@@ -10,11 +10,12 @@ N=2^18 (the smallest domain that fits the slot), packed with 44 real
 single-block keccak-f instances whose data comes from the fork_9 e2e
 vector's batchL2Data — a real batch's hash workload.
 
-The committed limb width is 8 bits (6 limbs for the 44-bit pack) instead
+The committed limb width is 4 bits (11 limbs for the 44-bit pack) instead
 of the reference's 11 (4 limbs): the gate-semantics plookup table has
 2*2^(2*limb_bits) rows, so 11-bit limbs need the reference's 2^23 domain
-while 8-bit limbs fit 2^18. Same circuit, same pack, same bindings —
-limb_bits only sizes the lookup table.
+while 4-bit limbs (the next divisor of 44 whose table fits) suit 2^18.
+Same circuit, same pack, same bindings — limb_bits only sizes the
+lookup table and the committed limb count.
 
 Usage: python tools/run_keccak_slot.py [--n-bits 18] [--out KECCAK_SLOT.json]
 """
@@ -31,7 +32,7 @@ E2E_INPUT = "/root/reference/testvectors/e2e/fork_9/input_executor_0.json"
 
 ROUNDS = 24
 PACK = 44
-LIMB_BITS = 8
+LIMB_BITS = 4
 MSG_LEN = 135   # <= rate-1 bytes -> exactly ONE keccak-f per message
 
 
@@ -43,6 +44,7 @@ def build_rom(messages):
     rb = RomBuilder()
     for mi, msg in enumerate(messages):
         addr = 0x100 + mi
+        rb.line(CONST=0, setHASHPOS=1)  # fresh stream position per message
         pos = 0
         while pos < len(msg):
             chunk = msg[pos:pos + 32]
@@ -67,7 +69,15 @@ def main() -> int:
     ap.add_argument("--out", default="KECCAK_SLOT.json")
     ap.add_argument("--check-only", action="store_true",
                     help="constraint-check the trace, skip the full prove")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the host-CPU jax backend (the axon "
+                         "sitecustomize pins the TPU otherwise)")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from zkevm_prover_tpu.executor import combined
     from zkevm_prover_tpu.executor.sm import keccak_circuit as kc
@@ -119,7 +129,7 @@ def main() -> int:
     }
     if args.check_only:
         t0 = time.time()
-        bad = prover.check_constraints(stacked)
+        bad = prover.check_constraints(stacked, quick=True)
         out["check_s"] = round(time.time() - t0, 1)
         out["violated"] = bad
         assert bad == [], f"violated: {bad}"
