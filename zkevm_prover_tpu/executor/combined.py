@@ -276,11 +276,14 @@ def build_batch_air(rom, n_bits: int,
         sel = rd + wr + wr8
         off_f = 32 - air.cm("main", "C0") + wr8 * 31
         # reads leave the window untouched (the SM forces NM == M), so the
-        # new-window legs mux to A/B on RD rows
+        # new-window legs mux to A/B on RD rows. WR8 only rewrites one byte
+        # of the A word (w1): the reference checks D alone and leaves E
+        # unconstrained on WR8 rows (main_executor.cpp fork_5..9 WR8 branch
+        # reads only pols.D), so the unchanged low word muxes back to B.
         new1 = [rd * air.cm("main", f"A{l}")
                 + (wr + wr8) * air.cm("main", f"D{l}") for l in range(8)]
-        new0 = [rd * air.cm("main", f"B{l}")
-                + (wr + wr8) * air.cm("main", f"E{l}") for l in range(8)]
+        new0 = [(rd + wr8) * air.cm("main", f"B{l}")
+                + wr * air.cm("main", f"E{l}") for l in range(8)]
         f = ([wr, wr8, off_f]
              + [air.cm("main", f"A{l}") for l in range(8)]
              + [air.cm("main", f"B{l}") for l in range(8)]

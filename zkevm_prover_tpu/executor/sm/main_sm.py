@@ -923,7 +923,11 @@ class MainExecutor:
                     act = {"op": kind, "w0": m1, "w1": m0,
                            "offset": 64 - off - span, "value": v_le}
                     nw_lo, nw_hi = ma_sm.result(act)
-                    if (nw_lo, nw_hi) != (w1n, w0n):
+                    # WR8 touches one byte of the A word only; the reference
+                    # checks D alone and never reads E on WR8 rows (fork_5
+                    # ROM leaves E unrelated there — main_executor.cpp WR8
+                    # branch), so the low-word check applies to WR only.
+                    if nw_hi != w0n or (kind == "wr" and nw_lo != w1n):
                         raise ExecutorError(
                             f"memAlign {kind} result mismatch",
                             step, zk_pc, ln)

@@ -76,6 +76,10 @@ class PublicInputs:
     forced_blockhash_l1: str = "0x" + "00" * 32
     sequencer_addr: str = "0x" + "00" * 20
     aggregator_addr: str = "0x" + "00" * 20
+    # pre-fork-7 (etrog) publics: one GER + timestamp per batch instead of
+    # the l1InfoTree (reference fork_5/6 PublicInputs, input.cpp loadGlobals)
+    global_exit_root: str = "0x" + "00" * 32
+    timestamp: int = 0
     # filled by execution / expected outputs in testvectors:
     new_state_root: str = "0x" + "00" * 32
     new_acc_input_hash: str = "0x" + "00" * 32
@@ -83,13 +87,26 @@ class PublicInputs:
     new_local_exit_root: str = "0x" + "00" * 32
 
     def acc_input_hash(self) -> str:
-        """The accInputHash recurrence — exactly what the fork_9 ROM
-        computes at finalizeBatch (rom.json lines 76-95): keccak over
+        """The accInputHash recurrence — exactly what the ROM computes at
+        finalizeBatch. Fork >= 7 (fork_9 rom.json lines 76-95): keccak over
         oldAccInputHash(32) || batchHashData(32) || l1InfoRoot(32) ||
-        timestampLimit(8) || sequencerAddr(20) || forcedBlockHashL1(32),
-        with batchHashData = keccak(batchL2Data)."""
+        timestampLimit(8) || sequencerAddr(20) || forcedBlockHashL1(32).
+        Fork <= 6 (fork_5 rom.json batchHashData/accInputHash vars, checked
+        bit-for-bit against testvectors/performance/*.json newAccInputHash):
+        keccak over oldAccInputHash(32) || batchHashData(32) ||
+        globalExitRoot(32) || timestamp(8) || sequencerAddr(20).
+        batchHashData = keccak(batchL2Data) in both."""
         batch_hash_data = keccak.keccak256(
             bytes.fromhex(self.batch_l2_data[2:] or ""))
+        if int(self.fork_id) <= 6:
+            payload = (
+                bytes.fromhex(self.old_acc_input_hash[2:])
+                + batch_hash_data
+                + bytes.fromhex(self.global_exit_root[2:])
+                + int(self.timestamp).to_bytes(8, "big")
+                + bytes.fromhex(self.sequencer_addr[2:])
+            )
+            return "0x" + keccak.keccak256(payload).hex()
         ts = self.timestamp_limit if isinstance(self.timestamp_limit, int) \
             else int(str(self.timestamp_limit), 0)
         payload = (
@@ -206,7 +223,8 @@ class ProofInput:
             "timestampLimit": int(str(p.timestamp_limit), 0)
             if not isinstance(p.timestamp_limit, int) else p.timestamp_limit,
             "forcedBlockHashL1": _hex_int(p.forced_blockhash_l1),
-            "timestamp": int(self.timestamp),
+            "globalExitRoot": _hex_int(p.global_exit_root),
+            "timestamp": int(p.timestamp or self.timestamp),
             "l1InfoTree": {
                 i: {"globalExitRoot": e.global_exit_root,
                     "blockHashL1": e.block_hash_l1,
@@ -252,4 +270,6 @@ _PUB_KEYS = {
     "new_acc_input_hash": "newAccInputHash",
     "new_batch_num": "newNumBatch",
     "new_local_exit_root": "newLocalExitRoot",
+    "global_exit_root": "globalExitRoot",
+    "timestamp": "timestamp",
 }
