@@ -446,8 +446,13 @@ class FullTracer:
 
     def _var(self, ctx, global_: bool, name: str, context: int | None = None):
         """getVarFromCtx (full_tracer.cpp:173-197): read the 256-bit ROM
-        variable `name` from global (ctx 0) or per-context memory."""
-        off = self.rom.memory_map[name]
+        variable `name` from global (ctx 0) or per-context memory.
+        Variables absent from the fork's ROM read as 0 — the reference
+        getVarFromCtx returns 0 when the label is missing (older forks
+        lack etrog-era vars like isForced/blockInfoRoot)."""
+        off = self.rom.memory_map.get(name)
+        if off is None:
+            return 0
         if global_:
             base = 0
         else:

@@ -357,11 +357,13 @@ class StarkProver:
                 comb = c if comb is None else comb * ex.Challenge(4) + c
 
             def run(cm1, cm2, cm3, const_2ns, challenges, publics, acc,
-                    qc_pow, _comb=comb):
+                    qc_pow, x2, zi2, _comb=comb):
+                # x2/zi2 ride as ARGUMENTS: a closed-over concrete device
+                # array is embedded as an HLO constant (33.5 MB each at
+                # 2^22), which OOM-kills the remote AOT compile helper
                 sections = {1: cm1, 2: cm2, 3: cm3}
                 b = self._bindings(sections, const_2ns, challenges, publics,
-                                   ext=True, x=self.x_2ns(),
-                                   zi=self.zi_2ns())
+                                   ext=True, x=x2, zi=zi2)
                 v = ex.eval_array(_comb, b)
                 if v.ndim == 1:
                     v = gl3.from_base(v)
@@ -375,8 +377,8 @@ class StarkProver:
     def _phase4_finish_fn(self):
         s = self.setup
 
-        def run(c_val):
-            q = gl3.mul(c_val, gl3.from_base(self.zi_2ns()))
+        def run(c_val, zi2):
+            q = gl3.mul(c_val, gl3.from_base(zi2))
             # split q into qDeg degree-<N polys, each evaluated on the coset
             # (reference: INTT -> per-chunk shift^{-pN} scale -> NTT,
             #  starks.cpp:262-287)
@@ -402,8 +404,8 @@ class StarkProver:
             qc_pow = jnp.asarray(
                 np.array(rm.pow3(qc, glen), dtype=np.uint64))
             acc = fn(cm1_2ns, cm2_2ns, cm3_2ns, const_2ns, challenges,
-                     publics, acc, qc_pow)
-        return self._phase4_finish_fn(acc)
+                     publics, acc, qc_pow, self.x_2ns(), self.zi_2ns())
+        return self._phase4_finish_fn(acc, self.zi_2ns())
 
     def _ntt_ext(self, v, *, inverse: bool):
         """NTT/INTT on the extended domain — distributed under a mesh."""
@@ -473,10 +475,10 @@ class StarkProver:
                     a += 1
 
             def run(sections_2ns, const_2ns, challenges, publics, evals,
-                    acc1, acc2, v1p, v2p, _e1=e1, _e2=e2):
+                    acc1, acc2, v1p, v2p, x2, zi2, _e1=e1, _e2=e2):
                 bnd = self._bindings(sections_2ns, const_2ns, challenges,
-                                     publics, ext=True, x=self.x_2ns(),
-                                     zi=self.zi_2ns(), evals=evals)
+                                     publics, ext=True, x=x2,
+                                     zi=zi2, evals=evals)
                 shape = acc1.shape
                 if _e1 is not None:
                     v = ex.eval_array(_e1, bnd)
@@ -497,8 +499,7 @@ class StarkProver:
     def _phase5_fri_finish_fn(self):
         s = self.setup
 
-        def run(challenges, acc1, acc2):
-            x = self.x_2ns()
+        def run(challenges, acc1, acc2, x):
             xi3 = challenges[7]
             wxi3 = gl3.mul_base(xi3, jnp.uint64(gl.w(s.n_bits)))
             xs = gl3.sub(gl3.from_base(x), jnp.broadcast_to(xi3, (s.n_ext, 3)))
@@ -521,8 +522,10 @@ class StarkProver:
             v1p = jnp.asarray(np.array(rm.pow3(v1, a), dtype=np.uint64))
             v2p = jnp.asarray(np.array(rm.pow3(v2, b_cnt), dtype=np.uint64))
             acc1, acc2 = fn(sections_2ns, const_2ns, challenges, publics,
-                            evals, acc1, acc2, v1p, v2p)
-        return self._phase5_fri_finish_fn(challenges, acc1, acc2)
+                            evals, acc1, acc2, v1p, v2p,
+                            self.x_2ns(), self.zi_2ns())
+        return self._phase5_fri_finish_fn(challenges, acc1, acc2,
+                                          self.x_2ns())
 
     @functools.cached_property
     def _check_run(self):
