@@ -46,12 +46,25 @@ def test_e2e_vector_new_state_root(idx):
     assert res.counters["poseidonG"] > 0
 
 
-@pytest.mark.parametrize("fork", [7, 8])
+@pytest.mark.parametrize("fork", [6, 7, 8])
 def test_e2e_older_forks(fork):
     got, want, res = _run(
         f"/root/reference/testvectors/e2e/fork_{fork}/input_executor_0.json")
     assert got == want, (
         f"fork {fork} newStateRoot mismatch: {got:#066x} != {want:#066x}")
+
+
+# the full e2e matrix (all four vectors of every shipped e2e fork) is
+# slow-tier: each is an independent full-ROM execution
+@pytest.mark.slow
+@pytest.mark.parametrize("fork,idx", [(f, i) for f in (6, 7, 8)
+                                      for i in (1, 2, 3)])
+def test_e2e_older_forks_full_matrix(fork, idx):
+    got, want, res = _run(
+        f"/root/reference/testvectors/e2e/fork_{fork}/"
+        f"input_executor_{idx}.json")
+    assert got == want, (
+        f"fork {fork} vec {idx}: {got:#066x} != {want:#066x}")
 
 
 def test_e2e_counters_populated():
@@ -64,7 +77,8 @@ def test_e2e_counters_populated():
 # flags — 0-0 is a 7-tx contract batch, 1-0 a changeL2Block-only batch with
 # skipWriteBlockInfoRoot, 1-1 a skipFirstChangeL2Block continuation whose
 # TIMESTAMP must be recovered from state (main_executor.cpp:249-289)
-@pytest.mark.parametrize("vec", ["0-0", "1-0", "1-1"])
+@pytest.mark.parametrize("vec", ["0-0", "0-1", "1-0", "1-1", "1-2", "1-3",
+                                 "2-0"])
 def test_timestamp_recovery_vectors(vec):
     got, want, res = _run(
         "/root/reference/testvectors/timestampRecovery/"

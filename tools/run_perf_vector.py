@@ -87,6 +87,12 @@ def main() -> int:
     ap.add_argument("--mode", default="execute",
                     choices=["execute", "check", "prove"])
     ap.add_argument("--platform", default="cpu")
+    ap.add_argument("--no-counters", action="store_true",
+                    help="run with bNoCounters semantics (inSTEP=0, no "
+                         "counter advance -> OOC checks can't fire)")
+    ap.add_argument("--dump-db", default=None,
+                    help="execute mode: dump the final node db + root to "
+                         "this JSON path for offline leaf-level state diffs")
     ap.add_argument("--queries", type=int, default=8)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
@@ -100,6 +106,8 @@ def main() -> int:
     root = PERF5 if args.fork == 5 else PERF7
     path = os.path.join(root, args.vector + ".json")
     pi = ProofInput.from_file(path)
+    if args.no_counters:
+        pi.no_counters = True
     want = pi.publics.new_state_root
     n_txs = sum(1 for kind, _ in split_batch_l2_data(
         bytes.fromhex(pi.publics.batch_l2_data[2:])) if kind == "tx")
@@ -126,17 +134,27 @@ def main() -> int:
         db = Database()
         pi.seed_database(db)
         rom = forks.rom_for_fork(int(pi.publics.fork_id))
+        tracer = pi.make_full_tracer(rom)
         res = MainExecutor(rom, args.bits).execute(
-            pi.executor_input(), smt=Smt(db), process_batch=True)
+            pi.executor_input(), smt=Smt(db), process_batch=True,
+            full_tracer=tracer)
         got = 0
         for i, fe in enumerate(res.new_state_root):
             got |= int(fe) << (64 * i)
         out |= {"steps": res.last_step,
                 "counters": {k: int(v) for k, v in res.counters.items() if v},
                 "new_state_root": f"{got:#066x}",
+                "batch_error": tracer.error,
+                "invalid_batch": bool(tracer.invalid_batch),
                 "execute_s": round(time.time() - t0, 1)}
         if want is not None:
             out["match"] = got == int(want, 16)
+        if args.dump_db:
+            with open(args.dump_db, "w") as f:
+                json.dump({"root": f"{got:#066x}",
+                           "nodes": db._nodes, "programs": {
+                               k: v.hex() for k, v in db._programs.items()}},
+                          f)
     elif args.mode == "check":
         from zkevm_prover_tpu.executor import combined, forks
         from zkevm_prover_tpu.hashdb.database import Database

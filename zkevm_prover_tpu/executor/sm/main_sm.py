@@ -507,6 +507,11 @@ class MainExecutor:
         hash_s: dict[int, _HashState] = {}
         counters = {k: 0 for k in ("arith", "binary", "memAlign", "keccakF",
                                    "sha256F", "poseidonG", "paddingPG")}
+        # bNoCounters (process-batch only): inSTEP reads 0 and the cnt*
+        # registers never advance, so the ROM's out-of-counters JMPN checks
+        # can't fire (reference main_executor.cpp:602 fork_7 / :507 fork_5,
+        # and the !bNoCounters guards on every counter increment)
+        no_counters = bool(inp.get("noCounters")) and process_batch
         cnt_regs = {name: 0 for name, _, _ in CNT_COLS}
         cnt_regs.update({name: 0 for name, _, _ in HASH_CNT_COLS})
         state_root = inp.get("oldStateRoot")
@@ -594,7 +599,7 @@ class MainExecutor:
                 if sel:
                     op[0] = (op[0] + sel * scal[s]) % P
             if ln.inSTEP:
-                op[0] = (op[0] + ln.inSTEP * step) % P
+                op[0] = (op[0] + ln.inSTEP * (0 if no_counters else step)) % P
             for name, insel, _ in CNT_COLS:
                 sel = getattr(ln, insel)
                 if sel:
@@ -1004,9 +1009,10 @@ class MainExecutor:
             for cmd in ln.cmd_after:
                 evc.eval_command(ctx, cmd)
 
-            for (cname, _, _), (_, ifn) in zip(CNT_COLS, DERIVED_COLS):
-                cnt_regs[cname] += ifn(ln)
-            if inc_counter:
+            if not no_counters:
+                for (cname, _, _), (_, ifn) in zip(CNT_COLS, DERIVED_COLS):
+                    cnt_regs[cname] += ifn(ln)
+            if inc_counter and not no_counters:
                 if ln.hashKDigest:
                     cnt_regs["CNT_KECCAK_F"] += inc_counter
                 if ln.hashPDigest:

@@ -234,6 +234,7 @@ class ProofInput:
             "skipVerifyL1InfoRoot": self.skip_verify_l1_info_root,
             "skipFirstChangeL2Block": self.skip_first_change_l2_block,
             "skipWriteBlockInfoRoot": self.skip_write_block_info_root,
+            "noCounters": self.no_counters,
         }
 
     def seed_database(self, database) -> None:

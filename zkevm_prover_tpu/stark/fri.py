@@ -39,19 +39,26 @@ def _pow_rows(base_per_col, n_rows):
     return jax.lax.associative_scan(gl.mul, x, axis=0)
 
 
-def fold_layer(values, fold_bits: int, special_x, shift_inv: int, w_inv: int):
+def fold_layer(values, fold_bits: int, special_x, shift_inv: int, w_inv: int,
+               sinv_g=None):
     """Fold one FRI layer: (size, 3) -> (size >> fold_bits, 3).
 
     values live on coset s·<w_size> with s^-1 = shift_inv, w_size^-1 = w_inv.
     Per output position g: gather {values[i * out + g]}, INTT (size 2^fold_bits),
     rescale coefficient j by (shift_inv · w_inv^g)^j, evaluate at special_x.
+
+    `sinv_g` (the (out,) table shift_inv * w_inv^g) can be passed as a
+    runtime argument: built in-graph it is a 2^20+ associative scan whose
+    compile blows past the AOT helper's memory (same failure mode as the
+    phase-5 coset tables — pass big tables, don't embed them).
     """
     size = values.shape[0]
     n_x = 1 << fold_bits
     out = size >> fold_bits
     v = values.reshape(n_x, out, 3)
     coefs = nttmod.intt(v, fold_bits)  # vectorized over (out, 3)
-    sinv_g = gl.mul(geom(w_inv, out), jnp.uint64(shift_inv))  # (out,)
+    if sinv_g is None:
+        sinv_g = gl.mul(geom(w_inv, out), jnp.uint64(shift_inv))  # (out,)
     scale = _pow_rows(sinv_g, n_x)  # (n_x, out)
     coefs = gl.mul(coefs, scale[..., None])
     acc = coefs[n_x - 1]

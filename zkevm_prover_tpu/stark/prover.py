@@ -504,8 +504,13 @@ class StarkProver:
             wxi3 = gl3.mul_base(xi3, jnp.uint64(gl.w(s.n_bits)))
             xs = gl3.sub(gl3.from_base(x), jnp.broadcast_to(xi3, (s.n_ext, 3)))
             xws = gl3.sub(gl3.from_base(x), jnp.broadcast_to(wxi3, (s.n_ext, 3)))
-            xdxx = gl3.mul_base(gl3.batch_inverse(xs, axis=0), x)
-            xdwx = gl3.mul_base(gl3.batch_inverse(xws, axis=0), x)
+            # Elementwise paired inversion (one gl3.inv for both divisors).
+            # batch_inverse's associative scans at n_ext >= 2^21 blow up the
+            # XLA compile (the AOT helper OOMs on the 2x log-depth scan
+            # graphs); the adjugate inverse is a fixed-size elementwise graph.
+            pair_inv = gl3.inv(gl3.mul(xs, xws))
+            xdxx = gl3.mul_base(gl3.mul(pair_inv, xws), x)
+            xdwx = gl3.mul_base(gl3.mul(pair_inv, xs), x)
             return gl3.add(gl3.mul(acc1, xdxx), gl3.mul(acc2, xdwx))
 
         return jax.jit(run)
@@ -760,9 +765,18 @@ class StarkProver:
         shift_inv = frimod.coset_shift_inv_at(si, s.n_bits_ext, s.fri_steps)
         w_inv = pow(gl.w(from_bits), gl.P - 2, gl.P)
         fold_bits = from_bits - to_bits
-        return jax.jit(
-            lambda vals, sx: frimod.fold_layer(vals, fold_bits, sx, shift_inv, w_inv)
-        )
+        # the (out,) coset-scale table is host-built and passed at call
+        # time — embedded in the graph it is a giant scan the remote AOT
+        # compiler cannot survive at 2^20+ (see fold_layer docstring)
+        out = 1 << to_bits
+        sinv_np = gl.mul(
+            nttmod.geometric_powers(w_inv, out, np_backend=True),
+            np.uint64(shift_inv))
+        fn = jax.jit(
+            lambda vals, sx, sg: frimod.fold_layer(
+                vals, fold_bits, sx, shift_inv, w_inv, sinv_g=sg))
+        sinv_dev = jnp.asarray(sinv_np)
+        return lambda vals, sx: fn(vals, sx, sinv_dev)
 
 
 def _geom3(base3, n):
