@@ -45,6 +45,7 @@ def test_hashdb_service_roundtrip():
         # extended surface (reference hashdb_service.cpp RPC set)
         assert client.get_latest_state_root() == r.new_root
         client.start_block("blk", r.new_root)
+        client.finish_tx("blk", r.new_root)
         client.finish_block("blk", r.new_root)
         client.purge("blk", r.new_root)
         root2, fid, stored = client.consolidate_state(r.new_root)
@@ -129,6 +130,13 @@ def test_executor_service_process_batch(shared_prover):
         # malformed root is rejected with error (reference input validation)
         bad = client.process_batch(old_state_root="nothex")
         assert bad.error == 1
+        # the V2 wire name a real sequencer dials (executor.proto:12)
+        resp2 = client.process_batch_v2(
+            old_batch_num=3,
+            actions_json='{"memory": [{"addr": 1, "step": 1, "wr": 1, '
+                         '"value": 9}, {"addr": 1, "step": 2, "wr": 0, '
+                         '"value": 0}]}')
+        assert resp2.error == 0 and resp2.new_batch_num == 4
     finally:
         server.stop(0)
 
@@ -239,7 +247,7 @@ def test_executor_stateless_batch(shared_prover):
         client = ExecutorClient("127.0.0.1:58072")
         resp = client.process_stateless_batch(
             witness=blob, data_stream=stream, old_batch_num=4,
-            timestamp_limit=2000)
+            timestamp_limit=2000, v2=True)
         assert resp.error == 0
         assert resp.new_batch_num == 5
         assert resp.prover_id == "zkevm-prover-tpu"
@@ -253,10 +261,14 @@ def test_executor_stateless_batch(shared_prover):
         server.stop(0)
 
 
+@pytest.mark.slow
 def test_aggregator_stateless_batch_request(shared_prover):
     """GenStatelessBatchProof on the AGGREGATOR channel (reference
     aggregator.proto:32): the request handler reconstructs the batch
-    input from witness + data stream and submits a genBatchProof."""
+    input from witness + data stream and submits a genBatchProof.
+
+    slow tier: a full ROM-path batch prove with its own AIR compile —
+    ~15+ min cold on this 1-core host."""
     import aggregator_pb2 as apb
     from zkevm_prover_tpu.services.aggregator import AggregatorClient
 
@@ -272,6 +284,6 @@ def test_aggregator_stateless_batch_request(shared_prover):
     assert out.gen_batch_proof_response.result == apb.RESULT_OK
     rid = out.gen_batch_proof_response.id
     req = client._requests[rid]
-    assert req.done.wait(timeout=900), "stateless batch proof timed out"
+    assert req.done.wait(timeout=2400), "stateless batch proof timed out"
     assert req.error is None, req.error
     assert req.result is not None

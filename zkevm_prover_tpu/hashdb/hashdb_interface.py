@@ -94,6 +94,13 @@ class HashDB:
     def finish_block(self, batch_uuid: str, new_root) -> None:
         self.state.semi_flush(batch_uuid, tuple(new_root))
 
+    def finish_tx(self, batch_uuid: str, new_root,
+                  persistence: int = PERSISTENCE_CACHE) -> None:
+        """Tx boundary marker within a batch (FinishTx RPC; reference
+        StateManager::finishTx, src/hashdb/state_manager.cpp): record the
+        post-tx state root so the overlay history tracks tx granularity."""
+        self.state.semi_flush(batch_uuid, tuple(new_root))
+
     def purge(self, batch_uuid: str, new_root,
               persistence: int = PERSISTENCE_CACHE) -> None:
         """Drop superseded overlay history, keeping the chain up to

@@ -95,6 +95,12 @@ def inv(a):
     inv(a) = M^{-1} · (1,0,0)^T = adj(M)[:,0] / det(M). Costs ~15 base muls
     plus one base inversion (vs a p^3-2 power ladder).
     """
+    if isinstance(a, jax.Array):
+        # Materialize the operand: XLA:CPU fusing a computed upstream value
+        # into the adjugate+Fermat graph yields a fusion whose evaluation is
+        # catastrophically slow (hours at 512 elements — the round-4
+        # multichip-dryrun timeout). See gl.inv for the same guard.
+        a = jax.lax.optimization_barrier(a)
     a0, a1, a2 = a[..., 0], a[..., 1], a[..., 2]
     m11 = gl.add(a0, a2)
     m12 = gl.add(a1, a2)

@@ -187,7 +187,17 @@ def pow_const(a, e: int):
 
 
 def inv(a):
-    """Field inverse via Fermat (a^(p-2)); inv(0) = 0 by convention."""
+    """Field inverse via Fermat (a^(p-2)); inv(0) = 0 by convention.
+
+    The input rides through an optimization barrier on the jax backend:
+    XLA:CPU fusing an upstream computed value into this ~120-multiply
+    square-and-multiply chain produces a fusion whose evaluation is
+    catastrophically slow (hours for a 512-element input — the round-4
+    multichip-dryrun timeout and test-suite blowup). Materializing the
+    operand first keeps the chain a plain CSE'd loop on every backend.
+    """
+    if isinstance(a, jax.Array):
+        a = jax.lax.optimization_barrier(a)
     return pow_const(a, P - 2)
 
 

@@ -307,8 +307,13 @@ def serve_executor(port: int, prover: Prover, max_workers: int = 8) -> grpc.Serv
     server = grpc.server(futures.ThreadPoolExecutor(max_workers=max_workers))
     register(server, SERVICE, {
         "ProcessBatch": unary(impl.ProcessBatch, pb.ProcessBatchRequest),
+        # V2 method names a real sequencer dials (reference
+        # executor.proto:12-13) — same unified handler
+        "ProcessBatchV2": unary(impl.ProcessBatch, pb.ProcessBatchRequest),
         "ProcessStatelessBatch": unary(impl.ProcessStatelessBatch,
                                        pb.ProcessStatelessBatchRequest),
+        "ProcessStatelessBatchV2": unary(impl.ProcessStatelessBatch,
+                                         pb.ProcessStatelessBatchRequest),
         "GetFlushStatus": unary(impl.GetFlushStatus, pb.Empty),
     })
     server.add_insecure_port(f"[::]:{port}")
@@ -372,8 +377,16 @@ class ExecutorClient:
         return self._status(pb.Empty())
 
     def process_stateless_batch(self, *, witness: bytes, data_stream: bytes,
-                                **kw):
-        stub = unary_stub(self._channel, SERVICE, "ProcessStatelessBatch",
-                          pb.ProcessBatchResponse)
+                                v2: bool = False, **kw):
+        stub = unary_stub(
+            self._channel, SERVICE,
+            "ProcessStatelessBatchV2" if v2 else "ProcessStatelessBatch",
+            pb.ProcessBatchResponse)
         return stub(pb.ProcessStatelessBatchRequest(
             witness=witness, data_stream=data_stream, **kw))
+
+    def process_batch_v2(self, **kw):
+        """ProcessBatchV2 by its wire name (reference executor.proto:12)."""
+        stub = unary_stub(self._channel, SERVICE, "ProcessBatchV2",
+                          pb.ProcessBatchResponse)
+        return stub(pb.ProcessBatchRequest(**kw))

@@ -97,6 +97,11 @@ class HashDBServiceImpl:
         self.hashdb.finish_block(req.batch_uuid, _fea(req.root))
         return pb.Empty()
 
+    def FinishTx(self, req, ctx):
+        self.hashdb.finish_tx(req.batch_uuid, _fea(req.new_state_root),
+                              req.persistence)
+        return pb.Empty()
+
     def Purge(self, req, ctx):
         self.hashdb.purge(req.batch_uuid, _fea(req.new_state_root),
                           req.persistence)
@@ -149,6 +154,7 @@ def serve_hashdb(port: int, hashdb: HashDB | None = None,
         "GetLatestStateRoot": unary(impl.GetLatestStateRoot, pb.Empty),
         "LoadDB": unary(impl.LoadDB, pb.LoadDBRequest),
         "LoadProgramDB": unary(impl.LoadProgramDB, pb.LoadProgramDBRequest),
+        "FinishTx": unary(impl.FinishTx, pb.FinishTxRequest),
         "StartBlock": unary(impl.StartBlock, pb.BlockRequest),
         "FinishBlock": unary(impl.FinishBlock, pb.BlockRequest),
         "Purge": unary(impl.Purge, pb.PurgeRequest),
@@ -249,6 +255,11 @@ class HashDBClient:
     def start_block(self, batch_uuid, root):
         self._stub("StartBlock", pb.Empty)(pb.BlockRequest(
             batch_uuid=batch_uuid, root=_to_fea(root)))
+
+    def finish_tx(self, batch_uuid, root, persistence=0):
+        self._stub("FinishTx", pb.Empty)(pb.FinishTxRequest(
+            batch_uuid=batch_uuid, new_state_root=_to_fea(tuple(root)),
+            persistence=persistence))
 
     def finish_block(self, batch_uuid, root):
         self._stub("FinishBlock", pb.Empty)(pb.BlockRequest(

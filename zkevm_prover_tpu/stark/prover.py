@@ -523,14 +523,17 @@ class StarkProver:
         v2 = tuple(int(v) for v in ch[6])
         acc1 = jnp.zeros((s.n_ext, 3), jnp.uint64)
         acc2 = jnp.zeros((s.n_ext, 3), jnp.uint64)
-        for fn, a, b_cnt in self._phase5_fri_chunk_fns:
+        for ci, (fn, a, b_cnt) in enumerate(self._phase5_fri_chunk_fns):
             v1p = jnp.asarray(np.array(rm.pow3(v1, a), dtype=np.uint64))
             v2p = jnp.asarray(np.array(rm.pow3(v2, b_cnt), dtype=np.uint64))
             acc1, acc2 = fn(sections_2ns, const_2ns, challenges, publics,
                             evals, acc1, acc2, v1p, v2p,
                             self.x_2ns(), self.zi_2ns())
-        return self._phase5_fri_finish_fn(challenges, acc1, acc2,
-                                          self.x_2ns())
+            self._t(f"ph5_fri_chunk{ci}", acc1)
+        out = self._phase5_fri_finish_fn(challenges, acc1, acc2,
+                                         self.x_2ns())
+        self._t("ph5_fri_finish", out)
+        return out
 
     @functools.cached_property
     def _check_run(self):
@@ -626,6 +629,25 @@ class StarkProver:
 
     # -- main entry ------------------------------------------------------------
 
+    @staticmethod
+    def _t(label: str, value=None):
+        """ZK_PHASE_TIMERS=1: block on `value` and log the phase wall-clock —
+        the reference's TimerStopAndLog(STARK_STEP_*) (utils/timer.hpp:17-27).
+        Off by default so phases stay async-pipelined."""
+        import os
+
+        if not os.environ.get("ZK_PHASE_TIMERS"):
+            return
+        import time as _time
+
+        if value is not None:
+            jax.block_until_ready(value)
+        now = _time.perf_counter()
+        prev = getattr(StarkProver._t, "_last", None)
+        StarkProver._t._last = now
+        if prev is not None:
+            print(f"[stark] {label}: {now - prev:.2f}s", flush=True)
+
     def prove(self, cm1_values, publics=None) -> StarkProof:
         """Generate a proof for stage-1 trace `cm1_values` ((N, nCm1) uint64)."""
         s = self.setup
@@ -645,8 +667,11 @@ class StarkProver:
         challenges = np.zeros((8, 3), dtype=np.uint64)
 
         # ---- phase 1
+        self._t("start")
         cm1_2ns = self._extend(cm1_n)
+        self._t("ph1_extend", cm1_2ns)
         tree1 = self.scheme.commit(cm1_2ns)
+        self._t("ph1_commit", tree1.root())
         transcript.put(self.scheme.root_ints(tree1.root()))
 
         # ---- phase 2
@@ -654,6 +679,7 @@ class StarkProver:
         challenges[1] = transcript.get_field3()
         ch = jnp.asarray(challenges)
         cm2_n, ok = self._phase2_fn(cm1_n, self.const_n, ch, publics_dev)
+        self._t("ph2_h1h2", cm2_n)
         ok = jnp.all(ok)
         if not bool(ok):
             raise ValueError("plookup violation: f value not present in t")
@@ -661,6 +687,7 @@ class StarkProver:
             (s.n_ext, 0), jnp.uint64
         )
         tree2 = self.scheme.commit(cm2_2ns)
+        self._t("ph2_commit", tree2.root())
         transcript.put(self.scheme.root_ints(tree2.root()))
 
         # ---- phase 3
@@ -668,10 +695,12 @@ class StarkProver:
         challenges[3] = transcript.get_field3()
         ch = jnp.asarray(challenges)
         cm3_n = self._phase3_fn(cm1_n, cm2_n, self.const_n, ch, publics_dev)
+        self._t("ph3_z", cm3_n)
         cm3_2ns = self._extend(cm3_n) if s.section_width[3] else jnp.zeros(
             (s.n_ext, 0), jnp.uint64
         )
         tree3 = self.scheme.commit(cm3_2ns)
+        self._t("ph3_commit", tree3.root())
         transcript.put(self.scheme.root_ints(tree3.root()))
 
         # ---- phase 4
@@ -679,7 +708,9 @@ class StarkProver:
         ch = jnp.asarray(challenges)
         cm4_2ns = self._phase4_fn(cm1_2ns, cm2_2ns, cm3_2ns, self.const_2ns,
                                   ch, publics_dev)
+        self._t("ph4_quotient", cm4_2ns)
         tree4 = self.scheme.commit(cm4_2ns)
+        self._t("ph4_commit", tree4.root())
         transcript.put(self.scheme.root_ints(tree4.root()))
 
         # ---- phase 5
@@ -688,6 +719,7 @@ class StarkProver:
         sections_2ns = {1: cm1_2ns, 2: cm2_2ns, 3: cm3_2ns, 4: cm4_2ns}
         evals_dev = self._phase5_evals_fn(sections_2ns, self.const_2ns,
                                           jnp.asarray(challenges[7]))
+        self._t("ph5_evals", evals_dev)
         evals_np = np.asarray(evals_dev)
         for e in evals_np:
             transcript.put([int(v) for v in e])
@@ -696,6 +728,7 @@ class StarkProver:
         ch = jnp.asarray(challenges)
         fri_pol = self._phase5_fri_fn(sections_2ns, self.const_2ns, ch,
                                       publics_dev, evals_dev)
+        self._t("ph5_fri_pol", fri_pol)
 
         # ---- FRI fold/commit
         # The reference squeezes special_x at the top of EVERY step iteration
@@ -724,6 +757,7 @@ class StarkProver:
                 for row in final_np:
                     transcript.put([int(v) for v in row])
 
+        self._t("fri_folds", layers[-1])
         # ---- queries
         ys = transcript.get_permutations(s.n_queries, steps[0])
         fri_layers = []
