@@ -60,7 +60,8 @@ def _measure_perm_rate() -> float:
     from zkevm_prover_tpu.ops import goldilocks as gl
     from zkevm_prover_tpu.ops import poseidon_pallas
 
-    batch = 1 << 20
+    batch = 1 << 22   # the pipeline's own leaf-hash scale: the floor must
+    #                   reflect the kernel's best (fully amortized) rate
     rng = np.random.default_rng(1)
     x = jax.device_put(
         rng.integers(0, gl.P, size=(batch, 12), dtype=np.uint64))

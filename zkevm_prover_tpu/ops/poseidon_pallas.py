@@ -127,6 +127,309 @@ def _make_kernel(exps: np.ndarray, half: int, rp: int, n_rounds: int):
     return kernel
 
 
+def _sbox7_lazy(lo, hi):
+    """x^7 with squarings and no canonicalization anywhere: x2 = x^2,
+    x3 = x2*x, x6 = x3^2, x7 = x6*x — two of the four multiplies are
+    squares (mul64's lh/hl cross terms coincide) and every reduction
+    output is already < 2^64, so the conditional subtract-p can wait
+    until the end of the permutation (mul64 is exact on any u64)."""
+    x2l, x2h = _sq_gl(lo, hi)
+    x3l, x3h = _mul_gl_lazy(x2l, x2h, lo, hi)
+    x6l, x6h = _sq_gl(x3l, x3h)
+    return _mul_gl_lazy(x6l, x6h, lo, hi)
+
+
+def _mul_gl_lazy(a_lo, a_hi, b_lo, b_hi):
+    return _reduce128_lazy(*g32.mul64(a_lo, a_hi, b_lo, b_hi))
+
+
+def _sq_gl(a_lo, a_hi):
+    """a^2 mod p (non-canonical): 3 mul32 instead of mul64's 4."""
+    ll_lo, ll_hi = g32.mul32(a_lo, a_lo)
+    lh_lo, lh_hi = g32.mul32(a_lo, a_hi)   # cross term, used twice
+    hh_lo, hh_hi = g32.mul32(a_hi, a_hi)
+    zero = jnp.zeros_like(a_lo)
+    # mid = 2*lh + ll_hi  (65-bit: carry joins the high word)
+    m_lo, m_hi, c = g32.add64(lh_lo, lh_hi, lh_lo, lh_hi)
+    m_lo, m_hi, c2 = g32.add64(m_lo, m_hi, ll_hi, zero)
+    h_lo, h_hi, _ = g32.add64(hh_lo, hh_hi, m_hi, c + c2)
+    return _reduce128_lazy(ll_lo, m_lo, h_lo, h_hi)
+
+
+def _make_kernel_mxu24(half: int, rp: int, n_rounds: int):
+    """Two batch halves stacked as (24, B) — zero sublane padding.
+
+    Same MXU-MDS idea as _make_kernel_mxu, tuned:
+      * state rows are (24, B): rows 0-11 half A, 12-23 half B — 24 = 3*8
+        sublanes so every elementwise op runs on full (8, 128) tiles
+        (the (12, B) form pads to 16 sublanes: 25% waste everywhere);
+      * A = I_8 (x) blockdiag(M, M) (192x192 padded to 256) so plane
+        extraction never slices sublanes: X[t*24 + r] = byte t of s_r;
+      * recombination pairs adjacent diagonals carry-free first
+        (G_q = R_{2q} + R_{2q+1}*2^8 < 2^26 in u32), halving the 3-limb
+        carry-chain accumulations: value = sum_q G_q * 2^{16q} + c_next;
+      * s-box uses squarings and lazy (non-canonical) reduction; the
+        partial round packs the two halves' row 0 into one (2, B) tile.
+    One final canonicalization pass follows the last round.
+    """
+    n_rows = 2 * WIDTH        # 24
+    k_act = N_LIMB8 * n_rows  # 192
+    k_pad = 256
+    int8_path = MXU24_INT8
+
+    def kernel(lo_ref, hi_ref, a_ref, clo_ref, chi_ref, olo_ref, ohi_ref):
+        A = a_ref[:, :]                               # (256, 256) bf16/int8
+        CLO = pltpu.bitcast(clo_ref[:], jnp.int32)    # (24, 32) (2 stacked)
+        CHI = pltpu.bitcast(chi_ref[:], jnp.int32)
+
+        def one_hot(col: int):
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, ROUND_PAD), 1)
+            return jnp.where(lane == col, np.int32(1), np.int32(0))
+
+        def sel_const(oh):
+            cl = pltpu.bitcast(
+                jnp.sum(CLO * oh, axis=1, keepdims=True,
+                        dtype=jnp.int32), jnp.uint32)
+            ch = pltpu.bitcast(
+                jnp.sum(CHI * oh, axis=1, keepdims=True,
+                        dtype=jnp.int32), jnp.uint32)
+            return cl, ch
+
+        b = lo_ref.shape[1]
+
+        def linear_bf16(lo, hi, cl, ch):
+            """blockdiag(M, M) @ s + c via the MXU; non-canonical out."""
+            planes = [(lo >> np.uint32(8 * t)) & np.uint32(0xFF)
+                      for t in range(4)]
+            planes += [(hi >> np.uint32(8 * t)) & np.uint32(0xFF)
+                       for t in range(4)]
+            x = jnp.concatenate(
+                planes + [jnp.zeros((k_pad - k_act, b), jnp.uint32)], axis=0)
+            xb = pltpu.bitcast(x, jnp.int32).astype(
+                jnp.float32).astype(jnp.bfloat16)
+            r = jax.lax.dot_general(
+                A, xb, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ri = pltpu.bitcast(r.astype(jnp.int32), jnp.uint32)
+            zero = jnp.zeros((n_rows, b), jnp.uint32)
+            # pair adjacent diagonals carry-free: G_q < 2^26
+            gs = [ri[(2 * q) * n_rows:(2 * q + 1) * n_rows]
+                  + (ri[(2 * q + 1) * n_rows:(2 * q + 2) * n_rows]
+                     << np.uint32(8))
+                  for q in range(N_LIMB8 // 2)]
+            # value = c + G_0 + G_1 2^16 + G_2 2^32 + G_3 2^48 (< 2^75)
+            a0 = jnp.broadcast_to(cl, (n_rows, b))
+            a1 = jnp.broadcast_to(ch, (n_rows, b))
+            a0, a1, a2 = _acc3_add(a0, a1, zero, gs[0], zero, zero)
+            a0, a1, a2 = _acc3_add(a0, a1, a2, gs[1] << np.uint32(16),
+                                   gs[1] >> np.uint32(16), zero)
+            a0, a1, a2 = _acc3_add(a0, a1, a2, zero, gs[2], zero)
+            a0, a1, a2 = _acc3_add(a0, a1, a2, zero, gs[3] << np.uint32(16),
+                                   gs[3] >> np.uint32(16))
+            return _reduce128_lazy(a0, a1, a2, zero)
+
+        def linear_int8(lo, hi, cl, ch):
+            """Same layer with native int8 MXU operands: 10 unsigned 7-bit
+            limb planes (so x and A both fit int8), no float converts."""
+            planes = [(lo >> np.uint32(7 * t)) & np.uint32(0x7F)
+                      for t in range(4)]
+            planes.append(((lo >> np.uint32(28)) | (hi << np.uint32(4)))
+                          & np.uint32(0x7F))
+            planes += [(hi >> np.uint32(7 * t - 32)) & np.uint32(0x7F)
+                       for t in range(5, 10)]
+            x = jnp.concatenate(
+                planes + [jnp.zeros((k_pad - 10 * n_rows, b), jnp.uint32)],
+                axis=0)
+            xb = pltpu.bitcast(x, jnp.int32).astype(jnp.int8)
+            r = jax.lax.dot_general(
+                A, xb, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            ri = pltpu.bitcast(r, jnp.uint32)
+            zero = jnp.zeros((n_rows, b), jnp.uint32)
+            # pair adjacent diagonals carry-free: G_q < 2^16 + 2^23
+            gs = [ri[(2 * q) * n_rows:(2 * q + 1) * n_rows]
+                  + (ri[(2 * q + 1) * n_rows:(2 * q + 2) * n_rows]
+                     << np.uint32(7))
+                  for q in range(5)]
+            # value = c + sum_q G_q 2^{14q}  (< 2^80)
+            a0 = jnp.broadcast_to(cl, (n_rows, b))
+            a1 = jnp.broadcast_to(ch, (n_rows, b))
+            a0, a1, a2 = _acc3_add(a0, a1, zero, gs[0], zero, zero)
+            a0, a1, a2 = _acc3_add(a0, a1, a2, gs[1] << np.uint32(14),
+                                   gs[1] >> np.uint32(18), zero)
+            a0, a1, a2 = _acc3_add(a0, a1, a2, gs[2] << np.uint32(28),
+                                   gs[2] >> np.uint32(4), zero)
+            a0, a1, a2 = _acc3_add(a0, a1, a2, zero,
+                                   gs[3] << np.uint32(10),
+                                   gs[3] >> np.uint32(22))
+            a0, a1, a2 = _acc3_add(a0, a1, a2, zero,
+                                   gs[4] << np.uint32(24),
+                                   gs[4] >> np.uint32(8))
+            return _reduce128_lazy(a0, a1, a2, zero)
+
+        linear = linear_int8 if int8_path else linear_bf16
+
+        def body(partial: bool):
+            def run(_r, carry):
+                oh, lo, hi = carry            # oh selects c_{r+1}
+                if partial:
+                    # both halves' row 0 in one (2, B) tile
+                    l0 = jnp.concatenate([lo[0:1], lo[WIDTH:WIDTH + 1]],
+                                         axis=0)
+                    h0 = jnp.concatenate([hi[0:1], hi[WIDTH:WIDTH + 1]],
+                                         axis=0)
+                    l0, h0 = _sbox7_lazy(l0, h0)
+                    lo = jnp.concatenate(
+                        [l0[0:1], lo[1:WIDTH], l0[1:2], lo[WIDTH + 1:]],
+                        axis=0)
+                    hi = jnp.concatenate(
+                        [h0[0:1], hi[1:WIDTH], h0[1:2], hi[WIDTH + 1:]],
+                        axis=0)
+                else:
+                    lo, hi = _sbox7_lazy(lo, hi)
+                cl, ch = sel_const(oh)
+                lo, hi = linear(lo, hi, cl, ch)
+                return pltpu.roll(oh, np.int32(1), axis=1), lo, hi
+
+            return run
+
+        lo = lo_ref[:, :]
+        hi = hi_ref[:, :]
+        cl, ch = sel_const(one_hot(0))
+        lo, hi = g32.add_gl(lo, hi, cl, ch)
+        oh, lo, hi = jax.lax.fori_loop(0, half, body(False),
+                                       (one_hot(1), lo, hi))
+        oh, lo, hi = jax.lax.fori_loop(half, half + rp, body(True),
+                                       (oh, lo, hi))
+        _, lo, hi = jax.lax.fori_loop(half + rp, n_rounds, body(False),
+                                      (oh, lo, hi))
+        # canonicalize once (lazy reductions leave values in [0, 2^64))
+        lo, hi = g32._sub_p(lo, hi, g32._geq_p(lo, hi))
+        olo_ref[:, :] = lo
+        ohi_ref[:, :] = hi
+
+    return kernel
+
+
+def _make_kernel_mxu96(half: int, rp: int, n_rounds: int):
+    """Eight batch groups as (96, L) — the blocked fold, MDS on the MXU.
+
+    Layout: row r*8 + h = state row r of batch-group h (identical to the
+    host-side fold of `blocked` mode), so EVERY elementwise op runs on
+    full (8, 128) tiles with zero sublane padding, the partial-round
+    s-box is the aligned contiguous slice rows [0:8], and the MDS is ten
+    int8 matmuls r_t = (M (x) I_8) @ x_t — one per 7-bit limb plane,
+    all sharing the same (96, 96) matrix. Recombination pairs adjacent
+    diagonals carry-free (G_q = r_{2q} + r_{2q+1} 2^7 < 2^24) and folds
+    the NEXT round's constant into the 3-limb accumulator seed; all
+    reductions are lazy (< 2^64, canonicalized once at the end).
+    """
+    n_rows = 8 * WIDTH        # 96
+
+    def kernel(lo_ref, hi_ref, a_ref, clo_ref, chi_ref, olo_ref, ohi_ref):
+        A = a_ref[:, :]                               # (96, 96) int8
+        CLO = pltpu.bitcast(clo_ref[:], jnp.int32)    # (96, 32)
+        CHI = pltpu.bitcast(chi_ref[:], jnp.int32)
+
+        def one_hot(col: int):
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, ROUND_PAD), 1)
+            return jnp.where(lane == col, np.int32(1), np.int32(0))
+
+        def sel_const(oh):
+            cl = pltpu.bitcast(
+                jnp.sum(CLO * oh, axis=1, keepdims=True,
+                        dtype=jnp.int32), jnp.uint32)
+            ch = pltpu.bitcast(
+                jnp.sum(CHI * oh, axis=1, keepdims=True,
+                        dtype=jnp.int32), jnp.uint32)
+            return cl, ch
+
+        b = lo_ref.shape[1]
+
+        def linear(lo, hi, cl, ch):
+            """(M (x) I_8) @ s + c_next via ten int8 MXU matmuls."""
+            planes = [(lo >> np.uint32(7 * t)) & np.uint32(0x7F)
+                      for t in range(4)]
+            planes.append(((lo >> np.uint32(28)) | (hi << np.uint32(4)))
+                          & np.uint32(0x7F))
+            planes += [(hi >> np.uint32(7 * t - 32)) & np.uint32(0x7F)
+                       for t in range(5, 10)]
+            rs = []
+            for t in range(10):
+                xb = pltpu.bitcast(planes[t], jnp.int32).astype(jnp.int8)
+                r = jax.lax.dot_general(
+                    A, xb, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                rs.append(pltpu.bitcast(r, jnp.uint32))
+            zero = jnp.zeros((n_rows, b), jnp.uint32)
+            gs = [rs[2 * q] + (rs[2 * q + 1] << np.uint32(7))
+                  for q in range(5)]
+            # value = c + sum_q G_q 2^{14q}  (< 2^80)
+            a0 = jnp.broadcast_to(cl, (n_rows, b))
+            a1 = jnp.broadcast_to(ch, (n_rows, b))
+            a0, a1, a2 = _acc3_add(a0, a1, zero, gs[0], zero, zero)
+            a0, a1, a2 = _acc3_add(a0, a1, a2, gs[1] << np.uint32(14),
+                                   gs[1] >> np.uint32(18), zero)
+            a0, a1, a2 = _acc3_add(a0, a1, a2, gs[2] << np.uint32(28),
+                                   gs[2] >> np.uint32(4), zero)
+            a0, a1, a2 = _acc3_add(a0, a1, a2, zero,
+                                   gs[3] << np.uint32(10),
+                                   gs[3] >> np.uint32(22))
+            a0, a1, a2 = _acc3_add(a0, a1, a2, zero,
+                                   gs[4] << np.uint32(24),
+                                   gs[4] >> np.uint32(8))
+            return _reduce128_lazy(a0, a1, a2, zero)
+
+        def body(partial: bool):
+            def run(_r, carry):
+                oh, lo, hi = carry            # oh selects c_{r+1}
+                if partial:
+                    l0, h0 = _sbox7_lazy(lo[0:8], hi[0:8])
+                    lo = jnp.concatenate([l0, lo[8:]], axis=0)
+                    hi = jnp.concatenate([h0, hi[8:]], axis=0)
+                else:
+                    lo, hi = _sbox7_lazy(lo, hi)
+                cl, ch = sel_const(oh)
+                lo, hi = linear(lo, hi, cl, ch)
+                return pltpu.roll(oh, np.int32(1), axis=1), lo, hi
+
+            return run
+
+        lo = lo_ref[:, :]
+        hi = hi_ref[:, :]
+        cl, ch = sel_const(one_hot(0))
+        lo, hi = g32.add_gl(lo, hi, cl, ch)
+        oh, lo, hi = jax.lax.fori_loop(0, half, body(False),
+                                       (one_hot(1), lo, hi))
+        oh, lo, hi = jax.lax.fori_loop(half, half + rp, body(True),
+                                       (oh, lo, hi))
+        _, lo, hi = jax.lax.fori_loop(half + rp, n_rounds, body(False),
+                                      (oh, lo, hi))
+        # canonicalize once (lazy reductions leave values in [0, 2^64))
+        lo, hi = g32._sub_p(lo, hi, g32._geq_p(lo, hi))
+        olo_ref[:, :] = lo
+        ohi_ref[:, :] = hi
+
+    return kernel
+
+
+def _reduce128_lazy(r0, r1, r2, r3):
+    """reduce128 without the final canonicalization (result < 2^64,
+    congruent mod p — valid input to mul64/byte-split)."""
+    zero = jnp.zeros_like(r0)
+    t0_lo, t0_hi, borrow = g32.sub64(r0, r1, r3, zero)
+    eps = np.uint32(0xFFFFFFFF)
+    bsel = borrow > 0
+    t0_lo, t0_hi, _ = g32.sub64(t0_lo, t0_hi,
+                                jnp.where(bsel, eps, np.uint32(0)), zero)
+    t1_lo, t1_hi, _ = g32.sub64(zero, r2, r2, zero)
+    t2_lo, t2_hi, carry = g32.add64(t0_lo, t0_hi, t1_lo, t1_hi)
+    csel = carry > 0
+    t2_lo, t2_hi, _ = g32.add64(t2_lo, t2_hi,
+                                jnp.where(csel, eps, np.uint32(0)), zero)
+    return t2_lo, t2_hi
+
+
 def _circ_diag(coeffs: np.ndarray):
     """Decompose M as circulant + diagonal (M[i][j] = circ[(j-i)%12] +
     diag[i]·δ_ij — the reference MDS shape); None if M isn't that shape."""
@@ -284,8 +587,114 @@ def _make_kernel_blocked(exps: np.ndarray, half: int, rp: int,
     return kernel
 
 
-MODE = "blocked"   # "1d" | "2d" | "blocked"
+N_LIMB8 = 8        # 8-bit limb planes per u64 state element (mxu mode)
+MXU_PAD = 128      # matmul side: N_LIMB8 * WIDTH = 96, padded to the MXU tile
+
+
+def _make_kernel_mxu(half: int, rp: int, n_rounds: int):
+    """Whole-state (12, B) formulation with the MDS on the MXU.
+
+    The round's linear layer out = M @ s over the integers is computed as
+    ONE bf16 matmul: the state is split into 8 unsigned 8-bit limb planes
+    X[t*12+j] = byte t of s_j (exact in bf16: values <= 255 fit its 8-bit
+    mantissa), and A = I_8 (x) M (padded to 128x128) maps them to output
+    diagonals R[t*12+i] = sum_j M[i,j] X[t*12+j] <= 12*41*255 < 2^17 —
+    every partial product and the f32 accumulation exact. The VPU only
+    recombines sum_t R_t 2^{8t} (< 2^74) in a 3-limb u32 accumulator,
+    seeded with the NEXT round's constant M-shifted fold: recombination
+    yields M@s + c_{r+1} directly, so the separate constant-add pass of
+    the other modes disappears. vs `blocked`, the 144-term small-integer
+    MDS and per-row s-box (12 ops per instruction row) collapse to ~6x
+    fewer VPU tile-ops; the matmul rides the otherwise-idle MXU.
+    """
+
+    def kernel(lo_ref, hi_ref, a_ref, clo_ref, chi_ref, olo_ref, ohi_ref):
+        A = a_ref[:, :]                               # (128, 128) bf16
+        CLO = pltpu.bitcast(clo_ref[:], jnp.int32)    # (12, 32)
+        CHI = pltpu.bitcast(chi_ref[:], jnp.int32)
+
+        def one_hot(col: int):
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, ROUND_PAD), 1)
+            return jnp.where(lane == col, np.int32(1), np.int32(0))
+
+        def sel_const(oh):
+            cl = pltpu.bitcast(
+                jnp.sum(CLO * oh, axis=1, keepdims=True,
+                        dtype=jnp.int32), jnp.uint32)
+            ch = pltpu.bitcast(
+                jnp.sum(CHI * oh, axis=1, keepdims=True,
+                        dtype=jnp.int32), jnp.uint32)
+            return cl, ch
+
+        b = lo_ref.shape[1]
+
+        def linear(lo, hi, cl, ch):
+            """M @ s + c via the MXU; returns non-canonical (lo, hi)."""
+            planes = [(lo >> np.uint32(8 * t)) & np.uint32(0xFF)
+                      for t in range(4)]
+            planes += [(hi >> np.uint32(8 * t)) & np.uint32(0xFF)
+                       for t in range(4)]
+            x = jnp.concatenate(
+                planes + [jnp.zeros((MXU_PAD - N_LIMB8 * WIDTH, b),
+                                    jnp.uint32)], axis=0)
+            # Mosaic has no u32->f32 convert; the byte values fit i32
+            xb = pltpu.bitcast(x, jnp.int32).astype(
+                jnp.float32).astype(jnp.bfloat16)
+            r = jax.lax.dot_general(
+                A, xb, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ri = pltpu.bitcast(r.astype(jnp.int32), jnp.uint32)
+            zero = jnp.zeros((WIDTH, b), jnp.uint32)
+            a0 = jnp.broadcast_to(cl, (WIDTH, b))
+            a1 = jnp.broadcast_to(ch, (WIDTH, b))
+            a2 = zero
+            for t in range(N_LIMB8):
+                rt = ri[t * WIDTH:(t + 1) * WIDTH]
+                sh = (8 * t) % 32
+                w_lo = rt << np.uint32(sh) if sh else rt
+                w_hi = rt >> np.uint32(32 - sh) if sh else zero
+                if t < 4:
+                    a0, a1, a2 = _acc3_add(a0, a1, a2, w_lo, w_hi, zero)
+                else:
+                    a0, a1, a2 = _acc3_add(a0, a1, a2, zero, w_lo, w_hi)
+            return g32.reduce128(a0, a1, a2, zero)
+
+        def body(partial: bool):
+            def run(_r, carry):
+                oh, lo, hi = carry            # oh selects c_{r+1}
+                if partial:
+                    l0, h0 = _sbox7(lo[0:1], hi[0:1])
+                    lo = jnp.concatenate([l0, lo[1:]], axis=0)
+                    hi = jnp.concatenate([h0, hi[1:]], axis=0)
+                else:
+                    lo, hi = _sbox7(lo, hi)
+                cl, ch = sel_const(oh)
+                lo, hi = linear(lo, hi, cl, ch)
+                return pltpu.roll(oh, np.int32(1), axis=1), lo, hi
+
+            return run
+
+        lo = lo_ref[:, :]
+        hi = hi_ref[:, :]
+        # round 0's constant-add; thereafter c_{r+1} folds into linear()
+        cl, ch = sel_const(one_hot(0))
+        lo, hi = g32.add_gl(lo, hi, cl, ch)
+        oh, lo, hi = jax.lax.fori_loop(0, half, body(False),
+                                       (one_hot(1), lo, hi))
+        oh, lo, hi = jax.lax.fori_loop(half, half + rp, body(True),
+                                       (oh, lo, hi))
+        _, lo, hi = jax.lax.fori_loop(half + rp, n_rounds, body(False),
+                                      (oh, lo, hi))
+        olo_ref[:, :] = lo
+        ohi_ref[:, :] = hi
+
+    return kernel
+
+
+MODE = "mxu96"     # "1d" | "2d" | "blocked" | "mxu" | "mxu24" | "mxu96"
 BLOCK_LANES = 2048  # lanes per grid step in blocked mode (16384 states)
+MXU_LANES = 1024    # lanes per grid step in mxu/mxu24/mxu96 modes
+MXU24_INT8 = False  # mxu24 matmul operands: int8 7-bit limbs vs bf16 bytes
 
 
 @functools.lru_cache(maxsize=4)
@@ -298,6 +707,111 @@ def _permute_call(source: str, interpret: bool, mode: str = "1d"):
     cpad[:, : pc.N_ROUNDS] = C.T
     clo = (cpad & 0xFFFFFFFF).astype(np.uint32)
     chi = (cpad >> 32).astype(np.uint32)
+    if mode == "mxu96":
+        kernel = _make_kernel_mxu96(pc.ROUNDS_F // 2, pc.ROUNDS_P,
+                                    pc.N_ROUNDS)
+        a_i8 = np.kron(np.asarray(coeffs), np.eye(8, dtype=np.int64)
+                       ).astype(np.int8)                # (96, 96) host copy
+        clo8 = np.repeat(clo, 8, axis=0)                # (96, 32)
+        chi8 = np.repeat(chi, 8, axis=0)
+
+        def run(lo, hi):  # (96, L) u32 each, L % MXU_LANES == 0
+            ln = lo.shape[1]
+            grid = (ln // MXU_LANES,)
+            spec = pl.BlockSpec((8 * WIDTH, MXU_LANES),
+                                lambda i: (i * 0, i),
+                                memory_space=pltpu.VMEM)
+            aspec = pl.BlockSpec((8 * WIDTH, 8 * WIDTH),
+                                 lambda i: (i * 0, i * 0),
+                                 memory_space=pltpu.VMEM)
+            cspec = pl.BlockSpec((8 * WIDTH, ROUND_PAD),
+                                 lambda i: (i * 0, i * 0),
+                                 memory_space=pltpu.VMEM)
+            out_shape = (
+                jax.ShapeDtypeStruct((8 * WIDTH, ln), jnp.uint32),
+                jax.ShapeDtypeStruct((8 * WIDTH, ln), jnp.uint32),
+            )
+            return pl.pallas_call(
+                kernel, grid=grid,
+                in_specs=[spec, spec, aspec, cspec, cspec],
+                out_specs=(spec, spec),
+                out_shape=out_shape,
+                interpret=interpret,
+            )(lo, hi, jnp.asarray(a_i8), jnp.asarray(clo8),
+              jnp.asarray(chi8))
+
+        return run
+    if mode == "mxu24":
+        kernel = _make_kernel_mxu24(pc.ROUNDS_F // 2, pc.ROUNDS_P,
+                                    pc.N_ROUNDS)
+        m = np.asarray(coeffs, dtype=np.float32)
+        bd = np.zeros((2 * WIDTH, 2 * WIDTH), dtype=np.float32)
+        bd[:WIDTH, :WIDTH] = m
+        bd[WIDTH:, WIDTH:] = m
+        a_np = np.zeros((256, 256), dtype=np.float32)
+        n_planes = 10 if MXU24_INT8 else N_LIMB8
+        for t in range(n_planes):
+            a_np[t * 24:(t + 1) * 24, t * 24:(t + 1) * 24] = bd
+        a_dtype = jnp.int8 if MXU24_INT8 else jnp.bfloat16
+        clo2 = np.concatenate([clo, clo], axis=0)   # (24, 32)
+        chi2 = np.concatenate([chi, chi], axis=0)
+
+        def run(lo, hi):  # (24, B) u32 each, B % MXU_LANES == 0
+            b = lo.shape[1]
+            grid = (b // MXU_LANES,)
+            spec = pl.BlockSpec((2 * WIDTH, MXU_LANES),
+                                lambda i: (i * 0, i),
+                                memory_space=pltpu.VMEM)
+            aspec = pl.BlockSpec((256, 256), lambda i: (i * 0, i * 0),
+                                 memory_space=pltpu.VMEM)
+            cspec = pl.BlockSpec((2 * WIDTH, ROUND_PAD),
+                                 lambda i: (i * 0, i * 0),
+                                 memory_space=pltpu.VMEM)
+            out_shape = (
+                jax.ShapeDtypeStruct((2 * WIDTH, b), jnp.uint32),
+                jax.ShapeDtypeStruct((2 * WIDTH, b), jnp.uint32),
+            )
+            return pl.pallas_call(
+                kernel, grid=grid,
+                in_specs=[spec, spec, aspec, cspec, cspec],
+                out_specs=(spec, spec),
+                out_shape=out_shape,
+                interpret=interpret,
+            )(lo, hi, jnp.asarray(a_np, dtype=a_dtype),
+              jnp.asarray(clo2), jnp.asarray(chi2))
+
+        return run
+    if mode == "mxu":
+        kernel = _make_kernel_mxu(pc.ROUNDS_F // 2, pc.ROUNDS_P,
+                                  pc.N_ROUNDS)
+        a_np = np.zeros((MXU_PAD, MXU_PAD), dtype=np.float32)
+        m = np.asarray(coeffs, dtype=np.float32)
+        for t in range(N_LIMB8):
+            a_np[t * WIDTH:(t + 1) * WIDTH, t * WIDTH:(t + 1) * WIDTH] = m
+
+        def run(lo, hi):  # (12, B) u32 each, B % MXU_LANES == 0
+            b = lo.shape[1]
+            grid = (b // MXU_LANES,)
+            spec = pl.BlockSpec((WIDTH, MXU_LANES), lambda i: (i * 0, i),
+                                memory_space=pltpu.VMEM)
+            aspec = pl.BlockSpec((MXU_PAD, MXU_PAD), lambda i: (i * 0, i * 0),
+                                 memory_space=pltpu.VMEM)
+            cspec = pl.BlockSpec((WIDTH, ROUND_PAD), lambda i: (i * 0, i * 0),
+                                 memory_space=pltpu.VMEM)
+            out_shape = (
+                jax.ShapeDtypeStruct((WIDTH, b), jnp.uint32),
+                jax.ShapeDtypeStruct((WIDTH, b), jnp.uint32),
+            )
+            return pl.pallas_call(
+                kernel, grid=grid,
+                in_specs=[spec, spec, aspec, cspec, cspec],
+                out_specs=(spec, spec),
+                out_shape=out_shape,
+                interpret=interpret,
+            )(lo, hi, jnp.asarray(a_np, dtype=jnp.bfloat16),
+              jnp.asarray(clo), jnp.asarray(chi))
+
+        return run
     if mode == "blocked":
         kernel = _make_kernel_blocked(np.asarray(coeffs), pc.ROUNDS_F // 2,
                                       pc.ROUNDS_P, pc.N_ROUNDS,
@@ -377,7 +891,10 @@ def available() -> bool:
 def permute(states, *, interpret: bool = False):
     """Poseidon permutation of (H, 12) uint64 states via the Pallas kernel."""
     h = states.shape[0]
-    pad = (-h) % (8 * BLOCK_LANES if MODE == "blocked" else TB)
+    pad = (-h) % (8 * BLOCK_LANES if MODE == "blocked"
+                  else MXU_LANES if MODE == "mxu"
+                  else 2 * MXU_LANES if MODE == "mxu24"
+                  else 8 * MXU_LANES if MODE == "mxu96" else TB)
     x = states
     if pad:
         x = jnp.concatenate(
@@ -387,7 +904,7 @@ def permute(states, *, interpret: bool = False):
     lo, hi = g32.split_u64(xt)
     run = _permute_call(pc.source(), interpret, MODE)
     assert run is not None, "pallas path requires a small-integer MDS"
-    if MODE == "blocked":
+    if MODE in ("blocked", "mxu96"):
         # fold the batch onto sublanes: (12, B) -> (12, 8, B/8) -> (96, B/8)
         b = lo.shape[1]
         lo = lo.reshape(WIDTH * 8, b // 8)
@@ -395,6 +912,14 @@ def permute(states, *, interpret: bool = False):
         olo, ohi = run(lo, hi)
         olo = olo.reshape(WIDTH, b)
         ohi = ohi.reshape(WIDTH, b)
+    elif MODE == "mxu24":
+        # two batch halves stacked on sublanes: (12, B) -> (24, B/2)
+        b = lo.shape[1]
+        lo = jnp.concatenate([lo[:, : b // 2], lo[:, b // 2 :]], axis=0)
+        hi = jnp.concatenate([hi[:, : b // 2], hi[:, b // 2 :]], axis=0)
+        olo, ohi = run(lo, hi)
+        olo = jnp.concatenate([olo[:WIDTH], olo[WIDTH:]], axis=1)
+        ohi = jnp.concatenate([ohi[:WIDTH], ohi[WIDTH:]], axis=1)
     else:
         olo, ohi = run(lo, hi)
     out = g32.join_u64(olo, ohi).T
