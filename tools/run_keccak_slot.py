@@ -74,10 +74,14 @@ def main() -> int:
                          "sitecustomize pins the TPU otherwise)")
     args = ap.parse_args()
 
-    if args.cpu:
-        import jax
+    import jax
 
+    if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/zkevm_prover_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from zkevm_prover_tpu.executor import combined
     from zkevm_prover_tpu.executor.sm import keccak_circuit as kc

@@ -458,6 +458,65 @@ def _bin_result(opname: str, a: int, b: int) -> tuple[int, int]:
     raise ValueError(opname)
 
 
+@dataclasses.dataclass(frozen=True)
+class _LinePlan:
+    """Per-ROM-line precompiled execution plan — the interpreter-side
+    analogue of the reference's generated main executor (mainGenerator
+    emits one unrolled C++ block per line, main_generator.cpp:26-80; here
+    the per-line work is folded into arrays/tuples once so the hot loop
+    never formats f-strings or scans zero selectors)."""
+    static_idx: np.ndarray   # trace columns fixed by the line (flags, ...)
+    static_vals: np.ndarray
+    const8: tuple            # CONST limb values
+    in8: tuple               # ((sel, reg_name), ...) nonzero 8-limb sels
+    in_rotl: int
+    in_scal: tuple           # ((sel, scalar_name), ...)
+    in_step: int
+    in_cnt: tuple            # ((sel, counter_name), ...)
+    set8: tuple              # reg names with set<reg>
+    set_scal: tuple          # subset of ("CTX", "PC", "GAS") with set<s>
+    derived: tuple           # (INCA, INCB, INCM) counter increments
+
+
+def _build_plans(rom: Rom, col: dict) -> list[_LinePlan]:
+    plans = []
+    for zkpc, ln in enumerate(rom.lines):
+        idx, vals = [col["zkPC"]], [zkpc]
+        for cname, attr in BOUND_FLAG_COLS:
+            idx.append(col[cname])
+            vals.append(int(getattr(ln, attr)) % P)
+        const8 = tuple(_const_limb(ln, l) for l in range(8))
+        for l in range(8):
+            idx.append(col[f"CONST{l}"])
+            vals.append(const8[l])
+        for name, fn in DERIVED_COLS:
+            idx.append(col[name])
+            vals.append(fn(ln))
+        in8 = tuple((getattr(ln, f"in{r}"), r) for r in REGS8
+                    if getattr(ln, f"in{r}"))
+        in_scal = tuple((getattr(ln, f"in{s}"), s) for s in SCALAR_REGS
+                        if getattr(ln, f"in{s}"))
+        in_cnt = tuple(
+            (getattr(ln, insel), name)
+            for name, insel, _ in (CNT_COLS + HASH_CNT_COLS)
+            if getattr(ln, insel))
+        plans.append(_LinePlan(
+            static_idx=np.array(idx, dtype=np.intp),
+            static_vals=np.array(vals, dtype=np.uint64),
+            const8=const8,
+            in8=in8,
+            in_rotl=ln.inROTL_C,
+            in_scal=in_scal,
+            in_step=ln.inSTEP,
+            in_cnt=in_cnt,
+            set8=tuple(r for r in REGS8 if getattr(ln, f"set{r}")),
+            set_scal=tuple(s for s in ("CTX", "PC", "GAS")
+                           if getattr(ln, f"set{s}")),
+            derived=tuple(fn(ln) for _, fn in DERIVED_COLS),
+        ))
+    return plans
+
+
 class MainExecutor:
     """Host-side fetch-decode-execute over a ROM; one trace row per step.
 
@@ -470,6 +529,7 @@ class MainExecutor:
         self.n_bits = n_bits
         self.n = 1 << n_bits
         self.on_step = None  # optional debug hook: (step, zk_pc, ln, ctx)
+        self._plans = None   # built lazily on first execute()
 
     def execute(self, input: dict | None = None, smt=None,
                 process_batch: bool = False, full_tracer=None,
@@ -553,63 +613,63 @@ class MainExecutor:
 
         poseidon = rm.Poseidon(pc.round_constants(), pc.mds_matrix())
 
+        if self._plans is None:
+            self._plans = _build_plans(rom, col)
+        plans = self._plans
+        # dynamic row slots written from machine state every step, in one
+        # fancy assignment: 48 reg limbs + 7 scalars + 7 counters
+        dyn_idx = np.array(
+            [col[f"{r}{l}"] for r in REGS8 for l in range(8)]
+            + [col[s] for s in SCALAR_REGS]
+            + [col[name] for name, _, _ in CNT_COLS]
+            + [col[name] for name, _, _ in HASH_CNT_COLS], dtype=np.intp)
+        tail_idx = np.array(
+            [col[f"OP{l}"] for l in range(8)]
+            + [col["ADDR"], col["CARRY"], col["ISNEG"], col["DOJMP"],
+               col["ISRCXNZ"], col["STAY"], col["INCHASHPOS"],
+               col["INCCNT"]], dtype=np.intp)
+
         for step in range(n):
             if zk_pc >= len(rom):
                 raise ExecutorError(f"zkPC {zk_pc} out of program", step, zk_pc)
             ln = rom[zk_pc]
+            pl = plans[zk_pc]
             ctx.step, ctx.zk_pc = step, zk_pc
             if self.on_step is not None:
                 self.on_step(step, zk_pc, ln, ctx)
             row = tr[0] if process_batch else tr[step]
 
-            # state snapshot for this row
-            for r in REGS8:
-                for l in range(8):
-                    row[col[f"{r}{l}"]] = regs8[r][l]
-            for s in SCALAR_REGS:
-                row[col[s]] = scal[s]
-            row[col["zkPC"]] = zk_pc
-            for cname, attr in BOUND_FLAG_COLS:
-                row[col[cname]] = int(getattr(ln, attr)) % P
-            for l in range(8):
-                row[col[f"CONST{l}"]] = _const_limb(ln, l)
-            for name, fn in DERIVED_COLS:
-                row[col[name]] = fn(ln)
-            for name, _, _ in CNT_COLS:
-                row[col[name]] = cnt_regs[name]
-            for name, _, _ in HASH_CNT_COLS:
-                row[col[name]] = cnt_regs[name]
+            # state snapshot for this row (two bulk assignments)
+            row[pl.static_idx] = pl.static_vals
+            dyn = (regs8["A"] + regs8["B"] + regs8["C"] + regs8["D"]
+                   + regs8["E"] + regs8["SR"])
+            dyn += [scal[s] for s in SCALAR_REGS]
+            dyn += [cnt_regs[name] for name, _, _ in CNT_COLS]
+            dyn += [cnt_regs[name] for name, _, _ in HASH_CNT_COLS]
+            row[dyn_idx] = dyn
             inc_counter = 0  # this row's incCounter (INCCNT), when flagged
 
             for cmd in ln.cmd_before:
                 evc.eval_command(ctx, cmd)
 
             # ---- op accumulation (mod p per limb) -----------------------
-            op = [0] * 8
-            for r in REGS8:
-                sel = getattr(ln, f"in{r}")
-                if sel:
-                    for l in range(8):
-                        op[l] = (op[l] + sel * regs8[r][l]) % P
-            if ln.inROTL_C:
+            op = list(pl.const8)
+            for sel, r in pl.in8:
+                rr = regs8[r]
                 for l in range(8):
-                    op[l] = (op[l] + ln.inROTL_C * regs8["C"][(l + 7) % 8]) % P
-            for s in SCALAR_REGS:
-                sel = getattr(ln, f"in{s}")
-                if sel:
-                    op[0] = (op[0] + sel * scal[s]) % P
-            if ln.inSTEP:
-                op[0] = (op[0] + ln.inSTEP * (0 if no_counters else step)) % P
-            for name, insel, _ in CNT_COLS:
-                sel = getattr(ln, insel)
-                if sel:
-                    op[0] = (op[0] + sel * cnt_regs[name]) % P
-            for name, insel, _ in HASH_CNT_COLS:
-                sel = getattr(ln, insel)
-                if sel:
-                    op[0] = (op[0] + sel * cnt_regs[name]) % P
-            for l in range(8):
-                op[l] = (op[l] + _const_limb(ln, l)) % P
+                    op[l] = (op[l] + sel * rr[l]) % P
+            if pl.in_rotl:
+                rc = regs8["C"]
+                for l in range(8):
+                    op[l] = (op[l] + pl.in_rotl * rc[(l + 7) % 8]) % P
+            acc0 = op[0]
+            for sel, s in pl.in_scal:
+                acc0 = (acc0 + sel * scal[s]) % P
+            if pl.in_step:
+                acc0 = (acc0 + pl.in_step * (0 if no_counters else step)) % P
+            for sel, name in pl.in_cnt:
+                acc0 = (acc0 + sel * cnt_regs[name]) % P
+            op[0] = acc0
 
             # input-flag op overrides at pinned labels (reference
             # main_executor.cpp:2235-2259): skipFirstChangeL2Block forces
@@ -640,7 +700,6 @@ class MainExecutor:
                 addr += STACK_OFFSET
             if ln.isMem:
                 addr += MEM_OFFSET
-            row[col["ADDR"]] = addr % P
 
             # ---- free input ---------------------------------------------
             free = [0] * 8
@@ -658,8 +717,6 @@ class MainExecutor:
 
             if op_override is not None:
                 op = list(op_override)
-            for l in range(8):
-                row[col[f"OP{l}"]] = op[l]
 
             # ---- assert -------------------------------------------------
             if ln.assert_:
@@ -815,8 +872,6 @@ class MainExecutor:
                 hs.digest_called = True
                 inc_counter = (len(hs.data) + 1 + 8 + 63) // 64
                 counters["sha256F"] += inc_counter
-            row[col["INCHASHPOS"]] = inc_hash_pos
-            row[col["INCCNT"]] = inc_counter
 
             # ---- arith ---------------------------------------------------
             if ln.arithEq0:
@@ -892,7 +947,6 @@ class MainExecutor:
                                         step, zk_pc, ln)
                 actions.binary.append({"op": opname, "a": a, "b": bb})
                 counters["binary"] += 1
-            row[col["CARRY"]] = carry
 
             # ---- memAlign ------------------------------------------------
             # register convention (main_executor.cpp:4484-4620): A=m0, B=m1,
@@ -964,15 +1018,16 @@ class MainExecutor:
                     row[col["OP0INV"]] = rm.inv(op[0])
             elif ln.JMP or ln.call:
                 do_jmp = True
-            row[col["ISNEG"]] = is_neg
-            row[col["DOJMP"]] = int(do_jmp)
 
             rcx_nz = scal["RCX"] != 0
             if scal["RCX"]:
                 row[col["RCXINV"]] = rm.inv(scal["RCX"])
-            row[col["ISRCXNZ"]] = int(rcx_nz)
             stay = bool(ln.repeat and rcx_nz)
-            row[col["STAY"]] = int(stay)
+
+            # per-step trace slots, one bulk assignment
+            row[tail_idx] = op + [addr % P, carry, is_neg, int(do_jmp),
+                                  int(rcx_nz), int(stay), inc_hash_pos,
+                                  inc_counter]
 
             if ln.return_:
                 next_pc = scal["RR"]
@@ -986,12 +1041,10 @@ class MainExecutor:
                 next_pc = zk_pc + 1
 
             # ---- setters -------------------------------------------------
-            for r in REGS8:
-                if getattr(ln, f"set{r}"):
-                    regs8[r] = list(op)
-            for s in ("CTX", "PC", "GAS"):
-                if getattr(ln, f"set{s}"):
-                    scal[s] = op[0]
+            for r in pl.set8:
+                regs8[r] = list(op)
+            for s in pl.set_scal:
+                scal[s] = op[0]
             scal["SP"] = op[0] if ln.setSP else (scal["SP"] + ln.incStack) % P
             if ln.setRR:
                 scal["RR"] = op[0]
@@ -1010,8 +1063,12 @@ class MainExecutor:
                 evc.eval_command(ctx, cmd)
 
             if not no_counters:
-                for (cname, _, _), (_, ifn) in zip(CNT_COLS, DERIVED_COLS):
-                    cnt_regs[cname] += ifn(ln)
+                if pl.derived[0]:
+                    cnt_regs["CNT_ARITH"] += pl.derived[0]
+                if pl.derived[1]:
+                    cnt_regs["CNT_BINARY"] += pl.derived[1]
+                if pl.derived[2]:
+                    cnt_regs["CNT_MEMALIGN"] += pl.derived[2]
             if inc_counter and not no_counters:
                 if ln.hashKDigest:
                     cnt_regs["CNT_KECCAK_F"] += inc_counter

@@ -29,6 +29,16 @@ matrices host-side at every level — so `extend_pol`'s coset shift
 Reference for the op contract: NTT_Goldilocks::{NTT,INTT,extendPol}
 (absent submodule; call sites src/starkpil/starks.cpp:53,134,215).
 Bit-exactness vs ops/ntt.py is property-tested in tests/test_ntt.py.
+
+DISPATCH DECISION (measured on the v5e chip, artifacts/bench/
+ntt_2e21x64.json): at the production LDE shape (2^21 -> 2^22 x 64 cols)
+this path runs at 126 Melem/s vs the VPU radix path's 337 Melem/s — the
+19-diagonal limb recombination costs the VPU more than the butterfly
+multiplies it removes. `extend_pol` therefore stays on ops/ntt.py; this
+module remains the measured record of the technique (the same
+diagonal-stacked limb matmul IS the win for Poseidon's MDS, where the
+matrix is small-integer and one limb wide — ops/poseidon_pallas.py
+mxu96 mode).
 """
 
 from __future__ import annotations

@@ -252,8 +252,16 @@ class StarkProver:
 
     # -- phases (each jitted once per setup) ----------------------------------
 
+    # LDE column chunk: the four-step NTT's transposes materialize ~4
+    # copies of its operand; extending a wide section (a combined batch
+    # AIR has 300-700 columns) in one call peaks at copies x full width
+    # and exhausts HBM alongside the resident sections. Chunking bounds
+    # the transient to copies x _EXT_COLS columns (reference analogue:
+    # extendPol's column-blocked aux buffer, starks.cpp:53).
+    _EXT_COLS = 64
+
     @functools.cached_property
-    def _extend(self):
+    def _extend_one(self):
         s = self.setup
         if self.mesh is not None:
             from ..parallel import ntt_sharded as nsh
@@ -262,6 +270,14 @@ class StarkProver:
             return jax.jit(lambda v: nsh.extend_pol_sharded(
                 v, s.n_bits, s.n_bits_ext, mesh, axis=ax, col_axis=None))
         return jax.jit(lambda v: nttmod.extend_pol(v, s.n_bits, s.n_bits_ext))
+
+    def _extend(self, v):
+        c = v.shape[1] if v.ndim == 2 else None
+        if c is None or c <= self._EXT_COLS:
+            return self._extend_one(v)
+        blocks = [self._extend_one(v[:, i:i + self._EXT_COLS])
+                  for i in range(0, c, self._EXT_COLS)]
+        return jnp.concatenate(blocks, axis=1)
 
     @functools.cached_property
     def _phase2_run(self):
@@ -295,8 +311,7 @@ class StarkProver:
     def _phase2_fn(self):
         return jax.jit(self._phase2_run)
 
-    @functools.cached_property
-    def _phase3_run(self):
+    def _phase3_group_run(self, plans):
         s = self.setup
 
         def run(cm1_n, cm2_n, const_n, challenges, publics):
@@ -316,7 +331,7 @@ class StarkProver:
                 challenges=challenges, publics=publics, x=x_n,
                 prime_stride=1)
             cols = []
-            for plan in s.lookups + s.permutations + s.connections:
+            for plan in plans:
                 # wide-connection partial products precede their z
                 for cid, e in getattr(plan, "aux", []):
                     v = ex.eval_array(e, b)
@@ -326,18 +341,41 @@ class StarkProver:
                 num = ex.eval_array(plan.num, b)
                 den = ex.eval_array(plan.den, b)
                 cols.append(calculate_z(num, den))
-            w3 = s.section_width[3]
-            return (
-                xp.concatenate(cols, axis=1)
-                if cols
-                else xp.zeros((s.n, w3), np.uint64)
-            )
+            return xp.concatenate(cols, axis=1)
 
         return run
 
+    # plans per phase-3 program: a combined batch AIR carries ~100 z
+    # columns whose single fused graph (eval DAGs + batch inversions +
+    # log-depth scans) blows the XLA:CPU compiler past 100 GB RSS —
+    # grouped programs compile in bounded memory (same reasoning as
+    # _C_CHUNK for phase 4)
+    _Z_CHUNK = 12
+
+    def _phase3_run(self, cm1_n, cm2_n, const_n, challenges, publics):
+        """Numpy twin used by the quick checker (ungrouped is fine there)."""
+        s = self.setup
+        plans = s.lookups + s.permutations + s.connections
+        if not plans:
+            return np.zeros((s.n, s.section_width[3]), np.uint64)
+        return self._phase3_group_run(plans)(
+            cm1_n, cm2_n, const_n, challenges, publics)
+
     @functools.cached_property
-    def _phase3_fn(self):
-        return jax.jit(self._phase3_run)
+    def _phase3_chunk_fns(self):
+        s = self.setup
+        plans = s.lookups + s.permutations + s.connections
+        groups = [plans[i:i + self._Z_CHUNK]
+                  for i in range(0, len(plans), self._Z_CHUNK)]
+        return [jax.jit(self._phase3_group_run(g)) for g in groups]
+
+    def _phase3_fn(self, cm1_n, cm2_n, const_n, challenges, publics):
+        s = self.setup
+        outs = [fn(cm1_n, cm2_n, const_n, challenges, publics)
+                for fn in self._phase3_chunk_fns]
+        if not outs:
+            return jnp.zeros((s.n, s.section_width[3]), jnp.uint64)
+        return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
 
     # combined-constraint evaluation is CHUNKED: a production batch AIR has
     # ~1000 constraints whose single fused XLA graph materializes tens of
