@@ -87,6 +87,11 @@ def main() -> int:
     ap.add_argument("--mode", default="execute",
                     choices=["execute", "check", "prove"])
     ap.add_argument("--platform", default="cpu")
+    ap.add_argument("--skip-blockinfo", action="store_true",
+                    help="set skipWriteBlockInfoRoot (the reference input "
+                    "flag): zero the etrog blockInfoRoot SSTORE — the "
+                    "decisive probe for whether a fork_7 expected root "
+                    "predates the block-info machinery")
     ap.add_argument("--no-counters", action="store_true",
                     help="run with bNoCounters semantics (inSTEP=0, no "
                          "counter advance -> OOC checks can't fire)")
@@ -108,6 +113,8 @@ def main() -> int:
     pi = ProofInput.from_file(path)
     if args.no_counters:
         pi.no_counters = True
+    if args.skip_blockinfo:
+        pi.skip_write_block_info_root = True
     want = pi.publics.new_state_root
     n_txs = sum(1 for kind, _ in split_batch_l2_data(
         bytes.fromhex(pi.publics.batch_l2_data[2:])) if kind == "tx")

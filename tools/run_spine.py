@@ -82,15 +82,17 @@ def main():
     t_prove = time.time() - t0
     prover, proof = bp.sm_proofs["batch"]
 
+    # persist the proof BEFORE verifying: a verifier-side failure must
+    # not discard hours of proving work
+    with open(os.path.join(out, "proof.json"), "w") as f:
+        f.write(proof.to_json())
+
     t0 = time.time()
     ok = verify(prover.setup, prover.verkey, proof)
     t_verify = time.time() - t0
     assert ok, "spine proof failed verification"
     assert bp.publics.new_state_root == inp.publics.new_state_root, \
         "newStateRoot mismatch vs vector"
-
-    with open(os.path.join(out, "proof.json"), "w") as f:
-        f.write(proof.to_json())
     air = prover.setup.air
     meta = {
         "vector": args.vector,

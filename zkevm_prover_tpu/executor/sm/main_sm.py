@@ -629,10 +629,12 @@ class MainExecutor:
                col["ISRCXNZ"], col["STAY"], col["INCHASHPOS"],
                col["INCCNT"]], dtype=np.intp)
 
+        n_rom = len(rom)
+        rom_lines = rom.lines
         for step in range(n):
-            if zk_pc >= len(rom):
+            if zk_pc >= n_rom:
                 raise ExecutorError(f"zkPC {zk_pc} out of program", step, zk_pc)
-            ln = rom[zk_pc]
+            ln = rom_lines[zk_pc]
             pl = plans[zk_pc]
             ctx.step, ctx.zk_pc = step, zk_pc
             if self.on_step is not None:

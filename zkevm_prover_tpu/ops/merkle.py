@@ -42,6 +42,31 @@ def _merkelize_jit(h: int, w: int):
     return jax.jit(merkelize_levels)
 
 
+# leaf-hash column block for big sources (a RATE multiple): each block is
+# its own XLA program, so the permutation custom-call buffers of one
+# program cover only LEAF_COLS/RATE chunks — a fused 751-column leaf hash
+# otherwise holds ~95 pallas buffers at once and exhausts HBM alongside
+# the resident proof sections
+LEAF_COLS = 64
+_BIG_LEAF_ELEMS = 1 << 24   # chunk only when H*W is actually big
+
+
+@functools.lru_cache(maxsize=None)
+def _leaf_fold_jit(h: int, w: int):
+    return jax.jit(pos.linear_hash_fold)
+
+
+@functools.lru_cache(maxsize=None)
+def _levels_jit(h: int):
+    def run(leaves):
+        levels = [leaves]
+        while levels[-1].shape[0] > 1:
+            levels.append(pos.hash_level(levels[-1]))
+        return levels
+
+    return jax.jit(run)
+
+
 @dataclasses.dataclass
 class MerkleTree:
     """Committed source + hash levels. `source` layout is (height, width)."""
@@ -52,6 +77,29 @@ class MerkleTree:
 
     @classmethod
     def commit(cls, source) -> "MerkleTree":
+        import os
+
+        h, w = source.shape
+        dbg = os.environ.get("ZK_MEMDEBUG")
+        # The column-chunked fold exists for XLA:CPU, where one fused
+        # leaf-hash program's LOCAL compile (and its pallas-buffer-dense
+        # execution arena) scales with W. On TPU the compile is remote
+        # and the fused program's working set fits HBM — and the chunked
+        # path's allocation churn (eager slices + one program per block)
+        # floods the axon session's async dealloc queue.
+        on_cpu = jax.default_backend() == "cpu"
+        if on_cpu and w > LEAF_COLS and h * w >= _BIG_LEAF_ELEMS:
+            digest = jnp.zeros((h, HASH_SIZE), dtype=jnp.uint64)
+            for off in range(0, w, LEAF_COLS):
+                if dbg:
+                    live = sum(a.nbytes for a in jax.live_arrays())
+                    print(f"[mem] commit({h}x{w}) off={off} "
+                          f"live={live/1e9:.2f} GB "
+                          f"({len(jax.live_arrays())} arrays)", flush=True)
+                blk = source[:, off:off + LEAF_COLS]
+                digest = _leaf_fold_jit(h, blk.shape[1])(blk, digest)
+            levels = _levels_jit(h)(digest)
+            return cls(source=source, levels=levels)
         levels = _merkelize_jit(*source.shape)(source)
         return cls(source=source, levels=levels)
 

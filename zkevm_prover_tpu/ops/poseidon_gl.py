@@ -187,6 +187,26 @@ def linear_hash(rows):
     return digest
 
 
+def linear_hash_fold(rows, digest):
+    """Continue a row-wise sponge from `digest` over more columns.
+
+    Same chunking as linear_hash (RATE-wide chunks, digest in capacity);
+    splitting a wide hash into column blocks of a RATE multiple and
+    folding block-by-block produces bit-identical digests while bounding
+    each XLA program's working set (pallas custom-call buffers do not
+    alias, so one fused program over W columns holds W/RATE permutation
+    buffers at once)."""
+    h, wdt = rows.shape
+    for off in range(0, wdt, RATE):
+        chunk = rows[:, off : off + RATE]
+        if chunk.shape[1] < RATE:
+            chunk = jnp.concatenate(
+                [chunk, jnp.zeros((h, RATE - chunk.shape[1]),
+                                  dtype=jnp.uint64)], axis=1)
+        digest = permute(jnp.concatenate([chunk, digest], axis=1))[:, :HASH_SIZE]
+    return digest
+
+
 def hash_level(nodes):
     """One Merkle reduction level: (H, 4) -> (H/2, 4)."""
     h = nodes.shape[0]

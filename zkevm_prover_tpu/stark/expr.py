@@ -24,10 +24,17 @@ Values are Goldilocks elements; dim 1 = base field, dim 3 = cubic extension.
 from __future__ import annotations
 
 import dataclasses
+import sys
 from typing import Any
 
 import jax.numpy as jnp
 import numpy as np
+
+# A combined batch AIR folds ~1000 constraints into one DAG; the
+# recursive walkers (eval_array tracing, point evaluation in the
+# verifier) need stack depth ~2 nodes per constraint. CPython 3.11+
+# keeps pure-Python recursion off the C stack, so a high limit is safe.
+sys.setrecursionlimit(max(sys.getrecursionlimit(), 100_000))
 
 from ..ops import gl3
 from ..ops import goldilocks as gl

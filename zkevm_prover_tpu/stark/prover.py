@@ -171,7 +171,7 @@ class StarkProver:
             if s.air.const_values
             else np.zeros((s.n, 0), dtype=np.uint64)
         )
-        self.const_n = self._shard(jnp.asarray(consts))
+        self._const_np = consts   # host copy (TPU trace-domain spilling)
         self._n_consts = consts.shape[1]
 
         # x and 1/Z_H on the extended coset (reference: x_2ns, ZhInv).
@@ -195,9 +195,17 @@ class StarkProver:
     # verification paths never need the const LDE + Merkle) ------------------
 
     @functools.cached_property
+    def const_n(self):
+        """Trace-domain constants on device — materialized on demand (the
+        TPU prove path feeds phases from the host copy instead)."""
+        return self._shard(jnp.asarray(self._const_np))
+
+    @functools.cached_property
     def const_2ns(self):
         if not self._n_consts:
             return jnp.zeros((self.setup.n_ext, 0), dtype=jnp.uint64)
+        if self.mesh is None and jax.default_backend() != "cpu":
+            return self._extend(self._const_np)   # block-transfers from host
         return self._extend(self.const_n)
 
     @functools.cached_property
@@ -257,8 +265,10 @@ class StarkProver:
     # AIR has 300-700 columns) in one call peaks at copies x full width
     # and exhausts HBM alongside the resident sections. Chunking bounds
     # the transient to copies x _EXT_COLS columns (reference analogue:
-    # extendPol's column-blocked aux buffer, starks.cpp:53).
-    _EXT_COLS = 64
+    # extendPol's column-blocked aux buffer, starks.cpp:53). 128 = one
+    # full TPU lane tile: narrower blocks pad to 128 lanes anyway (a
+    # 64-col u64 block costs the HBM of 128), doubling the footprint.
+    _EXT_COLS = 128
 
     @functools.cached_property
     def _extend_one(self):
@@ -272,11 +282,25 @@ class StarkProver:
         return jax.jit(lambda v: nttmod.extend_pol(v, s.n_bits, s.n_bits_ext))
 
     def _extend(self, v):
+        # chunked on EVERY backend: XLA:CPU for local compile RSS, TPU
+        # because the fused 300-700-col four-step's ~4 transient copies
+        # exceed the tunnel session's ~7 GB HBM budget once the AIR
+        # constants are resident (measured: unchunked 291 cols dies,
+        # 64-col blocks fit)
+        import os
+
+        dbg = os.environ.get("ZK_MEMDEBUG")
         c = v.shape[1] if v.ndim == 2 else None
         if c is None or c <= self._EXT_COLS:
             return self._extend_one(v)
-        blocks = [self._extend_one(v[:, i:i + self._EXT_COLS])
-                  for i in range(0, c, self._EXT_COLS)]
+        blocks = []
+        for i in range(0, c, self._EXT_COLS):
+            if dbg:
+                live = sum(a.nbytes for a in jax.live_arrays())
+                print(f"[mem] extend col={i}/{c} live={live/1e9:.2f} GB "
+                      f"({len(jax.live_arrays())} arrays)", flush=True)
+            blocks.append(self._extend_one(v[:, i:i + self._EXT_COLS]))
+            jax.block_until_ready(blocks[-1])
         return jnp.concatenate(blocks, axis=1)
 
     @functools.cached_property
@@ -345,12 +369,17 @@ class StarkProver:
 
         return run
 
-    # plans per phase-3 program: a combined batch AIR carries ~100 z
-    # columns whose single fused graph (eval DAGs + batch inversions +
-    # log-depth scans) blows the XLA:CPU compiler past 100 GB RSS —
-    # grouped programs compile in bounded memory (same reasoning as
-    # _C_CHUNK for phase 4)
+    # plans per phase-3 program ON CPU: a combined batch AIR carries
+    # ~100 z columns whose single fused graph (eval DAGs + batch
+    # inversions + log-depth scans) blows the XLA:CPU compiler past
+    # 100 GB RSS — grouped programs compile in bounded memory (same
+    # reasoning as _C_CHUNK for phase 4). On TPU the compile is remote
+    # and one program avoids per-chunk allocation churn.
     _Z_CHUNK = 12
+
+    @property
+    def _z_chunk(self) -> int:
+        return self._Z_CHUNK if jax.default_backend() == "cpu" else 10 ** 6
 
     def _phase3_run(self, cm1_n, cm2_n, const_n, challenges, publics):
         """Numpy twin used by the quick checker (ungrouped is fine there)."""
@@ -365,8 +394,8 @@ class StarkProver:
     def _phase3_chunk_fns(self):
         s = self.setup
         plans = s.lookups + s.permutations + s.connections
-        groups = [plans[i:i + self._Z_CHUNK]
-                  for i in range(0, len(plans), self._Z_CHUNK)]
+        groups = [plans[i:i + self._z_chunk]
+                  for i in range(0, len(plans), self._z_chunk)]
         return [jax.jit(self._phase3_group_run(g)) for g in groups]
 
     def _phase3_fn(self, cm1_n, cm2_n, const_n, challenges, publics):
@@ -622,7 +651,7 @@ class StarkProver:
             challenges = rng.integers(
                 1, (1 << 63), size=(8, 3)).astype(np.uint64)
             cm1_np = np.asarray(cm1_values, dtype=np.uint64)
-            const_np = np.asarray(self.const_n)
+            const_np = self._const_np
             publics_np = np.array(publics, dtype=np.uint64)
             with np.errstate(over="ignore"):
                 cm2_n, lookups_ok = self._phase2_run(
@@ -689,7 +718,17 @@ class StarkProver:
     def prove(self, cm1_values, publics=None) -> StarkProof:
         """Generate a proof for stage-1 trace `cm1_values` ((N, nCm1) uint64)."""
         s = self.setup
-        cm1_n = self._shard(jnp.asarray(cm1_values, dtype=jnp.uint64))
+        # On the TPU, trace-domain sections stay on HOST: the tunnel chip's
+        # usable HBM (~8 GB) must hold the EXTENDED sections (lane padding
+        # inflates (N, C) u64 arrays up to 2x) for phases 4/5 + queries;
+        # the trace-domain copies are consumed whole by the phase-2/3
+        # programs, which auto-transfer their (host) arguments per call.
+        spill = self.mesh is None and jax.default_backend() != "cpu"
+        if spill:
+            cm1_n = np.ascontiguousarray(
+                np.asarray(cm1_values, dtype=np.uint64))
+        else:
+            cm1_n = self._shard(jnp.asarray(cm1_values, dtype=jnp.uint64))
         assert cm1_n.shape == (s.n, s.air.n_cm1)
 
         if publics is None:
@@ -713,10 +752,11 @@ class StarkProver:
         transcript.put(self.scheme.root_ints(tree1.root()))
 
         # ---- phase 2
+        const_arg = self._const_np if spill else self.const_n
         challenges[0] = transcript.get_field3()
         challenges[1] = transcript.get_field3()
         ch = jnp.asarray(challenges)
-        cm2_n, ok = self._phase2_fn(cm1_n, self.const_n, ch, publics_dev)
+        cm2_n, ok = self._phase2_fn(cm1_n, const_arg, ch, publics_dev)
         self._t("ph2_h1h2", cm2_n)
         ok = jnp.all(ok)
         if not bool(ok):
@@ -732,11 +772,13 @@ class StarkProver:
         challenges[2] = transcript.get_field3()
         challenges[3] = transcript.get_field3()
         ch = jnp.asarray(challenges)
-        cm3_n = self._phase3_fn(cm1_n, cm2_n, self.const_n, ch, publics_dev)
+        cm3_n = self._phase3_fn(cm1_n, cm2_n, const_arg, ch, publics_dev)
         self._t("ph3_z", cm3_n)
+        del cm2_n   # trace-domain copies are dead once cm3 exists
         cm3_2ns = self._extend(cm3_n) if s.section_width[3] else jnp.zeros(
             (s.n_ext, 0), jnp.uint64
         )
+        del cm3_n
         tree3 = self.scheme.commit(cm3_2ns)
         self._t("ph3_commit", tree3.root())
         transcript.put(self.scheme.root_ints(tree3.root()))

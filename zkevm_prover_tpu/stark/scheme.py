@@ -27,6 +27,12 @@ class GLScheme:
 
     @staticmethod
     def root_ints(root) -> list[int]:
+        # NEVER np.asarray a python-int list here: values >= 2^63 make
+        # numpy silently pick float64 and TRUNCATE them — a json-loaded
+        # verkey then seeds the transcript with mangled ints and every
+        # derived challenge (hence every verification) diverges.
+        if isinstance(root, (list, tuple)):
+            return [int(v) for v in root]
         return [int(v) for v in np.ravel(np.asarray(root))]
 
     @staticmethod
