@@ -24,11 +24,14 @@ the phase's two physical lower bounds (BASELINE.md target: >= 0.90):
   Poseidon compute bound (dominates this phase):
     perms = 2N * ceil(C/8)  leaf sponge  +  ~2N  tree levels
     bounded by the standalone Pallas kernel rate MEASURED IN THIS RUN on
-    this chip (~14-16M perms/s — itself ~VPU-limited: one width-12
-    permutation is ~12-14k u32 VPU ops: 30 rounds, full s-box 12 lanes
-    x 8 + partial 22, 30 circulant MDS 12x12). The phase cannot hash
-    faster than its own kernel, so perms / kernel_rate is a sound
-    speed-of-light floor (~2.4 s here).
+    this chip at the pipeline's own batch scale (mxu96 mode: the 12x12
+    circulant MDS rides the MXU as int8 (M kron I_8) limb matmuls, the
+    VPU keeps only s-boxes + 3-limb recombination; ~21M perms/s at 2^20,
+    ~30M fully amortized at 2^22). The phase cannot hash faster than its
+    own kernel, so perms / kernel_rate is a sound speed-of-light floor
+    (~1.25 s here); the residual gap to the floor is the LDE's VPU time
+    (~0.8 s standalone; the MXU limb-matmul NTT measured SLOWER than the
+    VPU butterflies at this shape — artifacts/bench/ntt_2e21x64.json).
 
 The phase is Poseidon-compute-bound: vs_baseline = binding_bound /
 measured, with the HBM bound (14 ms) shown in the derivation only. The
